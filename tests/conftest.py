@@ -1,0 +1,37 @@
+"""Test configuration.
+
+Forces an 8-device virtual CPU platform so multi-chip sharding paths
+(jax.sharding.Mesh / shard_map) are exercised without TPU hardware. The
+environment's 'axon' TPU plugin ignores JAX_PLATFORMS, so we additionally pin
+jax_default_device to a CPU device — every un-committed computation then runs
+on (fast-compiling) CPU; mesh tests pass explicit CPU device lists.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+try:
+    _cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", _cpus[0])
+except RuntimeError:  # pragma: no cover
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def cpu_devices(n: int = 8):
+    return jax.devices("cpu")[:n]
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
