@@ -1,0 +1,216 @@
+"""Point-cloud kernels: range-image projection, motion deskew, ring
+compaction, voxel-grid downsampling.
+
+TPU re-design of `lidar_odometry/src/imageProjection.cpp` (projection +
+deskew, lines 495-647) and the PCL `VoxelGrid` filters used throughout
+(`featureExtraction.cpp:60`, `mapOptimization.cpp:145-153`):
+
+- The reference's per-point loops become fully vectorized fixed-shape ops on
+  a (N_SCAN, Horizon_SCAN) grid — the range image is already tensor-shaped.
+- "First point wins" cell dedup (`imageProjection.cpp:612`) is a scatter-min
+  on point index.
+- PCL VoxelGrid (centroid of points per voxel) becomes a sort-based
+  segment-mean: sort voxel keys, segment boundaries mark unique voxels,
+  centroids come from inclusive-scan differences. Deterministic and exact.
+- Padding points carry valid=False and are routed to a trash cell.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+
+
+def livox_columns(ring: jax.Array, valid: jax.Array, n_scan: int) -> jax.Array:
+    """Livox column index = per-ring arrival counter
+    (`imageProjection.cpp:602-606`): the i-th valid point on ring r gets
+    column (number of prior valid points on ring r)."""
+    cols = jnp.zeros(ring.shape, jnp.int32)
+    one_hot = jax.nn.one_hot(jnp.where(valid, ring, n_scan), n_scan + 1, dtype=jnp.int32)
+    counts = jnp.cumsum(one_hot, axis=0) - one_hot  # exclusive per-ring cumsum
+    return jnp.take_along_axis(counts, ring[:, None], axis=1)[:, 0]
+
+
+def spherical_columns(xyz: jax.Array, horizon_scan: int) -> jax.Array:
+    """Velodyne/Ouster column from azimuth (`imageProjection.cpp:597-603`)."""
+    horizon_angle = jnp.arctan2(xyz[:, 0], xyz[:, 1]) * (180.0 / jnp.pi)
+    ang_res = 360.0 / horizon_scan
+    col = -jnp.round((horizon_angle - 90.0) / ang_res).astype(jnp.int32) + horizon_scan // 2
+    return jnp.where(col >= horizon_scan, col - horizon_scan, col)
+
+
+def project_to_range_image(
+    xyz: jax.Array,  # (P, 3)
+    intensity: jax.Array,  # (P,)
+    ring: jax.Array,  # (P,) int32
+    valid: jax.Array,  # (P,) bool
+    n_scan: int,
+    horizon_scan: int,
+    min_range: float,
+    max_range: float,
+    columns: jax.Array | None = None,
+    downsample_rate: int = 1,
+):
+    """Range-image projection with first-point-wins dedup
+    (`imageProjection.cpp:570-622`).
+
+    Returns (range_img (N,H), xyz_img (N,H,3), intensity_img (N,H),
+    valid_img (N,H)). Cells with no point have range=inf.
+    """
+    P = xyz.shape[0]
+    rng = jnp.linalg.norm(xyz, axis=-1)
+    ok = valid & (rng >= min_range) & (rng <= max_range)
+    ok &= (ring >= 0) & (ring < n_scan)
+    if downsample_rate > 1:
+        ok &= (ring % downsample_rate) == 0
+    if columns is None:
+        columns = livox_columns(ring, ok, n_scan)
+    ok &= (columns >= 0) & (columns < horizon_scan)
+
+    # route invalid points to a trash cell
+    flat = jnp.where(ok, ring * horizon_scan + columns, n_scan * horizon_scan)
+    # first-wins: scatter-min of point index per cell
+    winner = jnp.full(n_scan * horizon_scan + 1, P, jnp.int32)
+    winner = winner.at[flat].min(jnp.arange(P, dtype=jnp.int32))
+    winner = winner[:-1]
+    cell_valid = winner < P
+    widx = jnp.where(cell_valid, winner, 0)
+    range_img = jnp.where(cell_valid, rng[widx], jnp.inf).reshape(n_scan, horizon_scan)
+    xyz_img = jnp.where(cell_valid[:, None], xyz[widx], 0.0).reshape(n_scan, horizon_scan, 3)
+    inten_img = jnp.where(cell_valid, intensity[widx], 0.0).reshape(n_scan, horizon_scan)
+    time_idx_img = jnp.where(cell_valid, widx, -1).reshape(n_scan, horizon_scan)
+    return range_img, xyz_img, inten_img, cell_valid.reshape(n_scan, horizon_scan), time_idx_img
+
+
+def deskew_points(
+    xyz: jax.Array,  # (P, 3)
+    rel_time: jax.Array,  # (P,) seconds from scan start
+    imu_time: jax.Array,  # (M,) sample times relative to scan start (sorted)
+    imu_quat: jax.Array,  # (M, 4) cumulative gyro rotation table (start -> t)
+    imu_valid_count: jax.Array,  # () int32 number of valid table entries
+    ref_time: jax.Array,  # () rotation reference: time of the first projected point
+) -> jax.Array:
+    """Rotational deskew (`imageProjection.cpp:495-581`): each point is
+    rotated by R(ref)⁻¹ R(t_point), where R interpolates the gyro-integrated
+    attitude table. Positional deskew is disabled in the reference
+    (`findPosition`, `:522-536`) and omitted here too.
+
+    The reference integrates gyro angles per-axis and composes Euler RPY; we
+    keep a proper quaternion table (`preintegration.gyro_rotation_table`) —
+    equivalent to first order for intra-scan rotations.
+    """
+
+    def interp(t):
+        # index of first table entry with time > t, clamped
+        idx = jnp.sum((imu_time <= t) & (jnp.arange(imu_time.shape[0]) < imu_valid_count)) - 1
+        idx = jnp.clip(idx, 0, imu_valid_count - 1)
+        nxt = jnp.clip(idx + 1, 0, imu_valid_count - 1)
+        t0, t1 = imu_time[idx], imu_time[nxt]
+        ratio = jnp.where(t1 > t0, (t - t0) / (t1 - t0), 0.0)
+        ratio = jnp.clip(ratio, 0.0, 1.0)
+        return lie.quat_slerp(imu_quat[idx], imu_quat[nxt], ratio)
+
+    q_pts = jax.vmap(interp)(rel_time)  # (P, 4)
+    q_ref = interp(ref_time)
+    q_corr = lie.quat_multiply(
+        jnp.broadcast_to(lie.quat_conjugate(q_ref), q_pts.shape), q_pts
+    )
+    return lie.quat_rotate(q_corr, xyz)
+
+
+def compact_rings(valid_img: jax.Array, horizon_scan: int):
+    """Ring-major compaction order (`cloudExtraction`,
+    `imageProjection.cpp:624-647`): per ring, valid cells packed left
+    preserving column order. Returns (order (N,H) gather indices into each
+    ring, counts (N,), start_idx (N,), end_idx (N,)) where start/end carry
+    the reference's ±5 margins and index into the *flat* compacted array.
+    """
+    n_scan = valid_img.shape[0]
+    # stable sort invalid-last within each ring
+    key = jnp.where(valid_img, 0, 1)
+    order = jnp.argsort(key, axis=1, stable=True)  # valid cells first, col order kept
+    counts = jnp.sum(valid_img, axis=1)
+    cum = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+    start_idx = cum[:-1] - 1 + 5
+    end_idx = cum[1:] - 1 - 5
+    return order, counts, start_idx, end_idx
+
+
+def gather_compacted(order, counts, img):
+    """Apply compaction order to a (N, H, ...) image and flatten to (N*H, ...)
+    with validity mask."""
+    n_scan, h = order.shape
+    flat = jnp.take_along_axis(
+        img.reshape(n_scan, h, -1), order[..., None], axis=1
+    )
+    pos = jnp.arange(h)[None, :]
+    valid = pos < counts[:, None]
+    out = flat.reshape(n_scan * h, -1)
+    if img.ndim == 2:
+        out = out[:, 0]
+    return out, valid.reshape(-1)
+
+
+def _voxel_keys(xyz: jax.Array, valid: jax.Array, leaf: float):
+    """Quantized voxel coordinates packed into one int32 key; invalid points
+    get the sentinel key 2^31-1 (sorts last)."""
+    c = jnp.floor(xyz / leaf).astype(jnp.int32) + (1 << 9)
+    c = jnp.clip(c, 0, (1 << 10) - 1)
+    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    return jnp.where(valid, key, jnp.int32(2**31 - 1))
+
+
+def voxel_downsample(
+    xyz: jax.Array,  # (P, 3)
+    valid: jax.Array,  # (P,)
+    leaf: float,
+    capacity: int,
+    intensity: jax.Array | None = None,
+):
+    """PCL VoxelGrid equivalent: centroid of the points in each occupied
+    voxel. Sort-based segment mean — exact, deterministic, fixed-shape.
+
+    Returns (xyz_out (capacity,3), valid_out (capacity,), intensity_out).
+    Voxels beyond `capacity` are dropped (sorted by voxel key).
+    """
+    keys = _voxel_keys(xyz, valid, leaf)
+    order = jnp.argsort(keys)
+    ks = keys[order]
+    xs = xyz[order]
+    vs = valid[order]
+    ins = intensity[order] if intensity is not None else jnp.zeros(xyz.shape[0], xyz.dtype)
+
+    is_first = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]]) & vs
+    seg_id = jnp.cumsum(is_first) - 1  # segment index per point (valid region)
+
+    n_seg = capacity
+    sid = jnp.where(vs & (seg_id < n_seg), seg_id, n_seg)  # overflow → trash slot
+    sums = jnp.zeros((n_seg + 1, 4), xyz.dtype)
+    data = jnp.concatenate([xs, ins[:, None]], axis=-1)
+    sums = sums.at[sid].add(data)
+    cnts = jnp.zeros(n_seg + 1, jnp.int32).at[sid].add(1)
+    # segments that overflowed capacity were all lumped into slot n_seg-1;
+    # detect: number of segments = max seg_id + 1
+    total_seg = jnp.sum(is_first)
+    out_valid = jnp.arange(n_seg) < jnp.minimum(total_seg, n_seg)
+    denom = jnp.maximum(cnts[:n_seg], 1).astype(xyz.dtype)[:, None]
+    cent = sums[:n_seg] / denom
+    out_xyz = jnp.where(out_valid[:, None], cent[:, :3], 0.0)
+    out_int = jnp.where(out_valid, cent[:, 3], 0.0)
+    return out_xyz, out_valid, out_int
+
+
+def remove_ego_points(xyz: jax.Array, valid: jax.Array, min_range: float) -> jax.Array:
+    """Drop points closer than min_range (ego returns)."""
+    return valid & (jnp.linalg.norm(xyz, axis=-1) >= min_range)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def transform_cloud(t: jax.Array, q: jax.Array, xyz: jax.Array, capacity: int = 0):
+    """Rigid transform of a padded cloud (`mapOptimization.cpp:356-365`
+    transformPointCloud, OpenMP loop → one fused op)."""
+    return lie.quat_rotate(q[None, :], xyz) + t[None, :]
