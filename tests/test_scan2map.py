@@ -1,0 +1,115 @@
+"""Scan-to-map solver tests (SURVEY.md §4 item 2): exact kNN vs numpy,
+Jacobian finite differences, SE(3) recovery on synthetic geometry, and
+degeneracy projection behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lvislam_tpu.ops import scan2map
+from lvislam_tpu.core import lie
+
+
+def test_knn_exact(rng):
+    q = rng.normal(size=(64, 3)).astype(np.float32)
+    m = rng.normal(size=(1000, 3)).astype(np.float32)
+    mv = rng.random(1000) > 0.2
+    idx, d = scan2map.knn(
+        jnp.array(q), jnp.ones(64, bool), jnp.array(m), jnp.array(mv), k=5, chunk=256
+    )
+    idx, d = np.asarray(idx), np.asarray(d)
+    dist = ((q[:, None, :] - m[None, :, :]) ** 2).sum(-1)
+    dist[:, ~mv] = np.inf
+    want = np.sort(dist, axis=1)[:, :5]
+    np.testing.assert_allclose(np.sort(d, axis=1), want, rtol=1e-3, atol=1e-4)
+
+
+def make_world(rng, n_line=400, n_plane=4000):
+    """Edge points along vertical poles, surf points on axis-aligned planes."""
+    poles = []
+    for cx, cy in [(5, 0), (0, 5), (-5, 3), (4, -4), (-3, -5), (7, 6)]:
+        z = rng.uniform(-2, 2, size=n_line // 6)
+        poles.append(np.stack([np.full_like(z, cx), np.full_like(z, cy), z], -1))
+    corners = np.concatenate(poles).astype(np.float32)
+    planes = []
+    # floor z=-2, walls x=+-9, y=+-9
+    xy = rng.uniform(-9, 9, size=(n_plane // 5, 2))
+    planes.append(np.concatenate([xy, np.full((len(xy), 1), -2.0)], -1))
+    for s in (9.0, -9.0):
+        yz = np.concatenate(
+            [rng.uniform(-9, 9, size=(n_plane // 5, 1)), rng.uniform(-2, 2, size=(n_plane // 5, 1))], -1
+        )
+        planes.append(np.concatenate([np.full((len(yz), 1), s), yz], -1))
+        xz = np.concatenate(
+            [rng.uniform(-9, 9, size=(n_plane // 5, 1)), rng.uniform(-2, 2, size=(n_plane // 5, 1))], -1
+        )
+        planes.append(np.stack([xz[:, 0], np.full(len(xz), s), xz[:, 1]], -1))
+    surfs = np.concatenate(planes).astype(np.float32)
+    return corners, surfs
+
+
+def test_euler_jacobian_fd(rng):
+    x6 = jnp.array([0.1, -0.2, 0.3, 0.0, 0.0, 0.0])
+    pts = jnp.array(rng.normal(size=(10, 3)).astype(np.float32))
+
+    def rot(x):
+        R = lie.ypr_to_matrix(jnp.stack([x[2], x[1], x[0]]) * (180.0 / jnp.pi))
+        return pts @ R.T
+
+    import jax
+
+    J = np.asarray(scan2map._euler_jacobians(x6, pts))
+    J_auto = np.asarray(jax.jacfwd(rot)(x6))  # (N, 3, 6)
+    np.testing.assert_allclose(J, J_auto[:, :, :3], atol=1e-5)
+
+
+def run_recovery(rng, true_x6, guess_x6):
+    corners, surfs = make_world(rng)
+    R = np.asarray(
+        lie.ypr_to_matrix(jnp.array([true_x6[2], true_x6[1], true_x6[0]]) * (180.0 / np.pi))
+    )
+    t = np.array(true_x6[3:])
+    # scan points = world points seen from the true pose: p_lidar = R^T (p_w - t)
+    c_scan = ((corners - t) @ R).astype(np.float32)
+    s_scan = ((surfs - t) @ R).astype(np.float32)
+    # subsample scan
+    ci = rng.choice(len(c_scan), 200, replace=False)
+    si = rng.choice(len(s_scan), 1500, replace=False)
+    st = scan2map.scan_to_map(
+        jnp.array(guess_x6, dtype=jnp.float32),
+        jnp.array(c_scan[ci]), jnp.ones(len(ci), bool),
+        jnp.array(s_scan[si]), jnp.ones(len(si), bool),
+        jnp.array(corners), jnp.ones(len(corners), bool),
+        jnp.array(surfs), jnp.ones(len(surfs), bool),
+        map_chunk=2048,
+    )
+    return np.asarray(st.x6), st
+
+
+def test_se3_recovery(rng):
+    true_x6 = [0.02, -0.03, 0.1, 0.3, -0.2, 0.1]
+    guess = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    got, st = run_recovery(rng, true_x6, guess)
+    np.testing.assert_allclose(got[:3], true_x6[:3], atol=2e-3)
+    np.testing.assert_allclose(got[3:], true_x6[3:], atol=5e-3)
+    assert bool(st.converged)
+    assert int(st.num_residuals) > 500
+
+
+def test_degenerate_flag(rng):
+    """A single-plane world constrains only 1 translation DoF + 2 rotations:
+    the solver must flag degeneracy and not explode."""
+    xy = rng.uniform(-9, 9, size=(3000, 2))
+    surfs = np.concatenate([xy, np.full((3000, 1), -1.0)], -1).astype(np.float32)
+    corners = np.zeros((8, 3), np.float32)
+    st = scan2map.scan_to_map(
+        jnp.zeros(6),
+        jnp.array(corners), jnp.zeros(8, bool),
+        jnp.array(surfs[:1000] + [0, 0, 0.05]), jnp.ones(1000, bool),
+        jnp.array(corners), jnp.zeros(8, bool),
+        jnp.array(surfs), jnp.ones(3000, bool),
+        map_chunk=1024,
+    )
+    assert bool(st.degenerate)
+    x = np.asarray(st.x6)
+    assert abs(x[5] + 0.05) < 5e-3  # z offset corrected (observable DoF)
+    assert np.all(np.abs(x) < 1.0)  # unobservable DoFs not exploding
