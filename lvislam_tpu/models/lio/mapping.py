@@ -1,0 +1,565 @@
+"""LIS map optimization — keyframe mapping, scan-to-map registration, factor
+graph, loop closure.
+
+TPU re-design of the reference's `mapOptimization` node
+(`lidar_odometry/src/mapOptimization.cpp:49-1809`). The node's mutable C++
+state (PCL clouds, kd-trees, GTSAM graph, OpenCV mats) becomes one
+fixed-shape `LioMapState` pytree; the per-scan handler
+(`laserCloudInfoHandler`, `:298-332`) becomes a single jitted function
+`map_step` containing:
+
+- `updateInitialGuess` (`:806-877`): VINS-increment > IMU-increment priority
+  chain, reproduced with lax.cond on flags carried in the state;
+- local map assembly (`extractNearby`/`extractCloud`, `:894-970`): top-K
+  nearest keyframes within the search radius + last-10 s keyframes, clouds
+  gathered, transformed, and voxel-downsampled on device;
+- scan downsampling (`downsampleCurrentScan`, `:987-999`);
+- scan-to-map Gauss-Newton (`ops.scan2map`, exact 5-NN semantics);
+- IMU roll/pitch slerp fusion + constraint clamps (`transformUpdate`,
+  `:1345-1385`);
+- keyframe gating + factor insertion (`saveFrame`/`addOdomFactor`,
+  `:1387-1431`) into the `ops.posegraph` store;
+- batch re-optimization + pose rewrite when loop/GPS factors are pending
+  (`saveKeyFramesAndFactor` + `correctPoses`, `:1529-1646`);
+- global + incremental odometry outputs (`publishOdometry`, `:1666-1746`),
+  the incremental channel being the pure scan-match delta chain with the
+  degenerate flag.
+
+Loop closure (`performLoopClosure` thread, `:523-741`) is a separate jitted
+function `loop_closure_step` run at its own cadence by the scheduler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import lie
+from ...ops import icp as icp_ops
+from ...ops import posegraph as pg
+from ...ops import pointcloud as pc
+from ...ops import scan2map
+from .frontend import FeatureResult
+
+
+@dataclasses.dataclass(frozen=True)
+class LioCaps:
+    """Static capacities (jit-time constants)."""
+
+    max_keyframes: int = 512
+    kf_corner: int = 512  # stored corner points per keyframe (downsampled)
+    kf_surf: int = 2048  # stored surf points per keyframe
+    sel_keyframes: int = 48  # local-map keyframe selection cap
+    map_corner: int = 16384  # assembled local map capacity
+    map_surf: int = 65536
+    scan_corner: int = 1024
+    scan_surf: int = 4096
+    max_loops: int = 32
+    max_gps: int = 64
+    loop_submap: int = 16384  # ICP target capacity
+    icp_iters: int = 25
+
+
+@dataclasses.dataclass(frozen=True)
+class LioParams:
+    """Dynamic-value parameters (from `params_lidar.yaml`)."""
+
+    mappingCornerLeafSize: float = 0.2
+    mappingSurfLeafSize: float = 0.4
+    surroundingKeyframeSearchRadius: float = 50.0
+    keyframeAddingDistThreshold: float = 1.0
+    keyframeAddingAngleThreshold: float = 0.2
+    imuRPYWeight: float = 0.01
+    z_tollerance: float = 1000.0
+    rotation_tollerance: float = 1000.0
+    useImuHeadingInitialization: bool = False
+    livox_keyframe_interval: float = 1.0
+    historyKeyframeSearchRadius: float = 15.0
+    historyKeyframeSearchTimeDiff: float = 30.0
+    historyKeyframeSearchNum: int = 25
+    historyKeyframeFitnessScore: float = 0.3
+    edgeFeatureMinValidNum: int = 10
+    surfFeatureMinValidNum: int = 100
+    # degeneracy eigenvalue threshold (`mapOptimization.cpp:1279` hardcodes
+    # 100; exposed because its scale follows the residual count / sensor
+    # resolution)
+    degeneracyEigenThreshold: float = 100.0
+
+
+class LioMapState(NamedTuple):
+    # current scan-matched pose [roll, pitch, yaw, x, y, z]
+    x6: jax.Array  # (6,)
+    # keyframe database
+    kf_trans: jax.Array  # (K, 3) optimized keyframe positions
+    kf_quat: jax.Array  # (K, 4)
+    kf_time: jax.Array  # (K,)
+    kf_count: jax.Array  # () int32
+    kf_corner: jax.Array  # (K, C, 3) keyframe corner cloud (lidar frame)
+    kf_corner_valid: jax.Array  # (K, C)
+    kf_surf: jax.Array  # (K, S, 3)
+    kf_surf_valid: jax.Array  # (K, S)
+    # factor graph (pose-graph store shared with ops.posegraph)
+    graph: pg.PoseGraph
+    n_loops: jax.Array  # () int32 count of loop factors added
+    loop_pending: jax.Array  # () bool — aLoopIsClosed
+    last_loop_kf: jax.Array  # () int32 index of last kf used for loop search
+    # initial-guess bookkeeping (`updateInitialGuess` statics)
+    last_imu_rpy: jax.Array  # (3,)
+    last_imu_valid: jax.Array  # () bool
+    last_vins_trans: jax.Array  # (3,)
+    last_vins_quat: jax.Array  # (4,)
+    last_vins_valid: jax.Array  # () bool
+    vins_reset_id: jax.Array  # () int32
+    # incremental odometry chain (`publishOdometry` statics)
+    incr_x6: jax.Array  # (6,) incremental odometry pose
+    degenerate: jax.Array  # () bool
+
+
+class MapOutputs(NamedTuple):
+    x6: jax.Array  # global odometry pose
+    incr_x6: jax.Array  # incremental odometry pose (scan-match delta chain)
+    degenerate: jax.Array
+    is_keyframe: jax.Array
+    num_residuals: jax.Array
+    gn_iters: jax.Array
+
+
+def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
+    K = caps.max_keyframes
+    return LioMapState(
+        x6=jnp.zeros(6, dtype),
+        kf_trans=jnp.zeros((K, 3), dtype),
+        kf_quat=jnp.tile(lie.quat_identity(dtype), (K, 1)),
+        kf_time=jnp.zeros(K, dtype),
+        kf_count=jnp.int32(0),
+        kf_corner=jnp.zeros((K, caps.kf_corner, 3), dtype),
+        kf_corner_valid=jnp.zeros((K, caps.kf_corner), bool),
+        kf_surf=jnp.zeros((K, caps.kf_surf, 3), dtype),
+        kf_surf_valid=jnp.zeros((K, caps.kf_surf), bool),
+        graph=pg.empty_graph(K, K + caps.max_loops, caps.max_gps, dtype),
+        n_loops=jnp.int32(0),
+        loop_pending=jnp.array(False),
+        last_loop_kf=jnp.int32(-1),
+        last_imu_rpy=jnp.zeros(3, dtype),
+        last_imu_valid=jnp.array(False),
+        last_vins_trans=jnp.zeros(3, dtype),
+        last_vins_quat=lie.quat_identity(dtype),
+        last_vins_valid=jnp.array(False),
+        vins_reset_id=jnp.int32(0),
+        incr_x6=jnp.zeros(6, dtype),
+        degenerate=jnp.array(False),
+    )
+
+
+def _x6_to_tq(x6):
+    q = lie.matrix_to_quat(
+        lie.ypr_to_matrix(jnp.stack([x6[2], x6[1], x6[0]]) * (180.0 / jnp.pi))
+    )
+    return x6[3:6], q
+
+
+def _tq_to_x6(t, q):
+    ypr = lie.matrix_to_ypr(lie.quat_to_matrix(q)) * (jnp.pi / 180.0)
+    return jnp.concatenate([jnp.stack([ypr[2], ypr[1], ypr[0]]), t])
+
+
+def _update_initial_guess(state: LioMapState, scan, params: LioParams):
+    """`updateInitialGuess` (`mapOptimization.cpp:806-877`)."""
+    imu_rpy = scan["imu_rpy_init"]
+    imu_ok = scan["imu_available"]
+    odom_ok = scan["odom_available"]
+
+    def first_frame(_):
+        yaw = jnp.where(params.useImuHeadingInitialization, imu_rpy[2], 0.0)
+        x6 = jnp.concatenate([jnp.stack([imu_rpy[0], imu_rpy[1], yaw]), jnp.zeros(3)])
+        return x6, state.last_vins_valid, state.last_vins_trans, state.last_vins_quat, state.vins_reset_id
+
+    def later_frame(_):
+        vins_usable = odom_ok & (scan["odom_reset_id"] == state.vins_reset_id)
+
+        def use_vins(_):
+            def have_last(_):
+                # incremental application of the VINS delta
+                ti, qi = lie.se3_relative(
+                    state.last_vins_trans, state.last_vins_quat,
+                    scan["odom_trans"], scan["odom_quat"],
+                )
+                t0, q0 = _x6_to_tq(state.x6)
+                tn, qn = lie.se3_compose(t0, q0, ti, qi)
+                return _tq_to_x6(tn, qn)
+
+            def no_last(_):
+                return state.x6
+
+            x6 = jax.lax.cond(state.last_vins_valid, have_last, no_last, None)
+            return x6, jnp.array(True), scan["odom_trans"], scan["odom_quat"], state.vins_reset_id
+
+        def use_imu(_):
+            def have_imu(_):
+                q_last = lie.rpy_to_quat(
+                    state.last_imu_rpy[0], state.last_imu_rpy[1], state.last_imu_rpy[2]
+                )
+                q_now = lie.rpy_to_quat(imu_rpy[0], imu_rpy[1], imu_rpy[2])
+                qi = lie.quat_multiply(lie.quat_conjugate(q_last), q_now)
+                t0, q0 = _x6_to_tq(state.x6)
+                tn, qn = lie.se3_compose(t0, q0, jnp.zeros(3), qi)
+                return _tq_to_x6(tn, qn)
+
+            x6 = jax.lax.cond(imu_ok & state.last_imu_valid, have_imu, lambda _: state.x6, None)
+            return x6, jnp.array(False), state.last_vins_trans, state.last_vins_quat, scan["odom_reset_id"]
+
+        return jax.lax.cond(vins_usable, use_vins, use_imu, None)
+
+    x6, vins_valid, vins_t, vins_q, reset_id = jax.lax.cond(
+        state.kf_count == 0, first_frame, later_frame, None
+    )
+    return state._replace(
+        x6=x6,
+        last_vins_valid=vins_valid,
+        last_vins_trans=vins_t,
+        last_vins_quat=vins_q,
+        vins_reset_id=reset_id,
+        last_imu_rpy=jnp.where(imu_ok, imu_rpy, state.last_imu_rpy),
+        last_imu_valid=imu_ok | state.last_imu_valid,
+    )
+
+
+def _assemble_local_map(state: LioMapState, caps: LioCaps, params: LioParams, scan_time):
+    """`extractNearby` + `extractCloud` (`mapOptimization.cpp:894-970`)."""
+    K = caps.max_keyframes
+    cur_t = state.x6[3:6]
+    kf_idx = jnp.arange(K)
+    kf_ok = kf_idx < state.kf_count
+    d = jnp.linalg.norm(state.kf_trans - cur_t[None, :], axis=-1)
+    recent = (scan_time - state.kf_time) < 10.0
+    in_radius = d < params.surroundingKeyframeSearchRadius
+    eligible = kf_ok & (in_radius | recent)
+    # nearest `sel_keyframes` eligible keyframes
+    score = jnp.where(eligible, -d, -jnp.inf)
+    _, sel = jax.lax.top_k(score, caps.sel_keyframes)
+    sel_ok = eligible[sel]
+
+    def gather(cloud, cvalid):
+        pts = cloud[sel]  # (Sel, C, 3)
+        val = cvalid[sel] & sel_ok[:, None]
+        t = state.kf_trans[sel]
+        q = state.kf_quat[sel]
+        world = lie.quat_rotate(q[:, None, :], pts) + t[:, None, :]
+        return world.reshape(-1, 3), val.reshape(-1)
+
+    c_pts, c_val = gather(state.kf_corner, state.kf_corner_valid)
+    s_pts, s_val = gather(state.kf_surf, state.kf_surf_valid)
+    mc, mc_val, _ = pc.voxel_downsample(
+        c_pts, c_val, params.mappingCornerLeafSize, caps.map_corner
+    )
+    ms, ms_val, _ = pc.voxel_downsample(
+        s_pts, s_val, params.mappingSurfLeafSize, caps.map_surf
+    )
+    return mc, mc_val, ms, ms_val
+
+
+def _transform_update(state: LioMapState, scan, params: LioParams, x6):
+    """IMU roll/pitch slerp + clamps (`transformUpdate`, `:1345-1385`)."""
+    imu_ok = scan["imu_available"] & (jnp.abs(scan["imu_rpy_init"][1]) < 1.4)
+    w = params.imuRPYWeight
+
+    def slerp_angle(a, b):
+        # slerp between single-axis rotations == shortest-path angle lerp
+        diff = jnp.arctan2(jnp.sin(b - a), jnp.cos(b - a))
+        return a + w * diff
+
+    roll = jnp.where(imu_ok, slerp_angle(x6[0], scan["imu_rpy_init"][0]), x6[0])
+    pitch = jnp.where(imu_ok, slerp_angle(x6[1], scan["imu_rpy_init"][1]), x6[1])
+    roll = jnp.clip(roll, -params.rotation_tollerance, params.rotation_tollerance)
+    pitch = jnp.clip(pitch, -params.rotation_tollerance, params.rotation_tollerance)
+    z = jnp.clip(x6[5], -params.z_tollerance, params.z_tollerance)
+    return x6.at[0].set(roll).at[1].set(pitch).at[5].set(z)
+
+
+def _is_keyframe(state: LioMapState, params: LioParams, scan_time, is_livox: bool):
+    """`saveFrame` (`:1387-1412`)."""
+    def first(_):
+        return jnp.array(True)
+
+    def later(_):
+        last = state.kf_count - 1
+        livox_force = jnp.array(is_livox) & (
+            (scan_time - state.kf_time[last]) > params.livox_keyframe_interval
+        )
+        t0, q0 = state.kf_trans[last], state.kf_quat[last]
+        t1, q1 = _x6_to_tq(state.x6)
+        ti, qi = lie.se3_relative(t0, q0, t1, q1)
+        rpy = jnp.abs(
+            lie.matrix_to_ypr(lie.quat_to_matrix(qi)) * (jnp.pi / 180.0)
+        )
+        small = (
+            (rpy < params.keyframeAddingAngleThreshold).all()
+            & (jnp.linalg.norm(ti) < params.keyframeAddingDistThreshold)
+        )
+        return livox_force | (~small)
+
+    return jax.lax.cond(state.kf_count == 0, first, later, None)
+
+
+def _add_keyframe(state: LioMapState, feats: FeatureResult, caps: LioCaps,
+                  params: LioParams, scan_time):
+    """`saveKeyFramesAndFactor` without the solve (`:1529-1613`): push the
+    keyframe + odometry factor; the optimize happens in `_maybe_optimize`."""
+    k = state.kf_count
+    t, q = _x6_to_tq(state.x6)
+
+    # downsample the scan features into keyframe storage
+    c_xyz, c_val, _ = pc.voxel_downsample(
+        feats.corner_xyz, feats.corner_valid, params.mappingCornerLeafSize, caps.kf_corner
+    )
+    s_xyz, s_val, _ = pc.voxel_downsample(
+        feats.surf_xyz, feats.surf_valid, params.mappingSurfLeafSize, caps.kf_surf
+    )
+
+    g = state.graph
+
+    def first(g):
+        g = g._replace(
+            prior_trans=t,
+            prior_quat=q,
+            prior_sqrtw=jnp.array(pg.PRIOR_SQRTW, dtype=t.dtype),
+        )
+        return g
+
+    def later(g):
+        # between factor k-1 -> k from the *graph* pose of k-1 to the new pose
+        tp, qp = g.trans[k - 1], g.quat[k - 1]
+        ti, qi = lie.se3_relative(tp, qp, t, q)
+        f = k - 1  # odometry factor index = source node
+        g = g._replace(
+            bf_i=g.bf_i.at[f].set(k - 1),
+            bf_j=g.bf_j.at[f].set(k),
+            bf_trans=g.bf_trans.at[f].set(ti),
+            bf_quat=g.bf_quat.at[f].set(qi),
+            bf_sqrtw=g.bf_sqrtw.at[f].set(jnp.array(pg.ODOM_SQRTW, dtype=t.dtype)),
+            bf_valid=g.bf_valid.at[f].set(True),
+        )
+        return g
+
+    g = jax.lax.cond(k == 0, first, later, g)
+    g = g._replace(
+        trans=g.trans.at[k].set(t),
+        quat=g.quat.at[k].set(q),
+        node_valid=g.node_valid.at[k].set(True),
+    )
+
+    return state._replace(
+        graph=g,
+        kf_trans=state.kf_trans.at[k].set(t),
+        kf_quat=state.kf_quat.at[k].set(q),
+        kf_time=state.kf_time.at[k].set(scan_time),
+        kf_corner=state.kf_corner.at[k].set(c_xyz),
+        kf_corner_valid=state.kf_corner_valid.at[k].set(c_val),
+        kf_surf=state.kf_surf.at[k].set(s_xyz),
+        kf_surf_valid=state.kf_surf_valid.at[k].set(s_val),
+        kf_count=k + 1,
+    )
+
+
+def _maybe_optimize(state: LioMapState):
+    """When loop/GPS factors are pending, run the batch solve and rewrite all
+    keyframe poses (`correctPoses`, `:1615-1646`). Without pending factors
+    the chain solution is exact already (odometry factors are consistent by
+    construction), matching iSAM2's no-op update."""
+
+    def do_opt(state):
+        g = pg.optimize(state.graph, gn_iters=6, pcg_iters=96)
+        k = state.kf_count - 1
+        new_x6 = _tq_to_x6(g.trans[k], g.quat[k])
+        return state._replace(
+            graph=g,
+            kf_trans=jnp.where(g.node_valid[:, None], g.trans, state.kf_trans),
+            kf_quat=jnp.where(g.node_valid[:, None], g.quat, state.kf_quat),
+            x6=new_x6,
+            loop_pending=jnp.array(False),
+        )
+
+    return jax.lax.cond(state.loop_pending, do_opt, lambda s: s, state)
+
+
+@partial(jax.jit, static_argnames=("caps", "params", "is_livox", "max_gn_iters"))
+def map_step(
+    state: LioMapState,
+    scan: dict,
+    feats: FeatureResult,
+    caps: LioCaps,
+    params: LioParams,
+    is_livox: bool = True,
+    max_gn_iters: int = 20,
+):
+    """One `laserCloudInfoHandler` step (`mapOptimization.cpp:298-332`)."""
+    incr_front = state.x6
+    state = _update_initial_guess(state, scan, params)
+
+    # downsample current scan (`downsampleCurrentScan`)
+    c_xyz, c_val, _ = pc.voxel_downsample(
+        feats.corner_xyz, feats.corner_valid, params.mappingCornerLeafSize, caps.scan_corner
+    )
+    s_xyz, s_val, _ = pc.voxel_downsample(
+        feats.surf_xyz, feats.surf_valid, params.mappingSurfLeafSize, caps.scan_surf
+    )
+
+    mc, mc_val, ms, ms_val = _assemble_local_map(state, caps, params, scan["stamp"])
+
+    enough = (jnp.sum(c_val) > params.edgeFeatureMinValidNum) & (
+        jnp.sum(s_val) > params.surfFeatureMinValidNum
+    )
+    have_map = state.kf_count > 0
+
+    def run_gn(x6):
+        st = scan2map.scan_to_map(
+            x6, c_xyz, c_val, s_xyz, s_val, mc, mc_val, ms, ms_val,
+            max_iters=max_gn_iters,
+            eigen_thresh=params.degeneracyEigenThreshold,
+        )
+        return st.x6, st.degenerate, st.num_residuals, st.it
+
+    def skip_gn(x6):
+        return x6, jnp.array(False), jnp.int32(0), jnp.int32(0)
+
+    x6_new, degen, n_res, gn_iters = jax.lax.cond(
+        enough & have_map, run_gn, skip_gn, state.x6
+    )
+    x6_new = _transform_update(state, scan, params, x6_new)
+    state = state._replace(x6=x6_new, degenerate=degen)
+
+    # incremental odometry: pure scan-match delta chain (`publishOdometry`,
+    # `:1711-1746`: incrementalOdometryAffineFront^-1 * Back composed onto
+    # the previous incremental pose)
+    tf, qf = _x6_to_tq(incr_front)
+    tb, qb = _x6_to_tq(x6_new)
+    ti, qi = lie.se3_relative(tf, qf, tb, qb)
+    tp, qp = _x6_to_tq(state.incr_x6)
+    tn, qn = lie.se3_compose(tp, qp, ti, qi)
+    incr_x6 = jnp.where(state.kf_count == 0, x6_new, _tq_to_x6(tn, qn))
+    state = state._replace(incr_x6=incr_x6)
+
+    is_kf = _is_keyframe(state, params, scan["stamp"], is_livox)
+
+    def with_kf(state):
+        state = _add_keyframe(state, feats, caps, params, scan["stamp"])
+        return _maybe_optimize(state)
+
+    state = jax.lax.cond(is_kf, with_kf, lambda s: s, state)
+
+    return state, MapOutputs(
+        x6=state.x6,
+        incr_x6=incr_x6,
+        degenerate=degen,
+        is_keyframe=is_kf,
+        num_residuals=n_res,
+        gn_iters=gn_iters,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Loop closure (`loopClosureThread`, `mapOptimization.cpp:523-741`)
+# ---------------------------------------------------------------------------
+
+class LoopResult(NamedTuple):
+    found: jax.Array  # () bool
+    kf_from: jax.Array  # () int32 (current keyframe)
+    kf_to: jax.Array  # () int32 (old keyframe)
+    fitness: jax.Array  # ()
+
+
+@partial(jax.jit, static_argnames=("caps", "params"))
+def loop_closure_step(state: LioMapState, caps: LioCaps, params: LioParams):
+    """Distance-based candidate search + submap ICP + loop factor insertion
+    (`detectLoopClosureDistance` `:630-663`, `performLoopClosure` `:549-628`).
+    Returns (new_state, LoopResult)."""
+    K = caps.max_keyframes
+    cur = state.kf_count - 1
+    cur_t = state.kf_trans[cur]
+    cur_time = state.kf_time[cur]
+    kf_idx = jnp.arange(K)
+    old_ok = (kf_idx < state.kf_count) & (
+        (cur_time - state.kf_time) > params.historyKeyframeSearchTimeDiff
+    )
+    d = jnp.linalg.norm(state.kf_trans - cur_t[None, :], axis=-1)
+    cand_ok = old_ok & (d < params.historyKeyframeSearchRadius)
+    # closest qualifying old keyframe
+    cand = jnp.argmin(jnp.where(cand_ok, d, jnp.inf))
+    has_cand = jnp.any(cand_ok) & (state.kf_count > 1) & (cur != state.last_loop_kf)
+
+    def do_icp(state):
+        # source: current keyframe surf+corner cloud (lidar frame -> world at
+        # current pose); target: ±historyKeyframeSearchNum submap around cand
+        src = jnp.concatenate([state.kf_corner[cur], state.kf_surf[cur]], axis=0)
+        srcv = jnp.concatenate(
+            [state.kf_corner_valid[cur], state.kf_surf_valid[cur]], axis=0
+        )
+        src_w = lie.quat_rotate(state.kf_quat[cur][None, :], src) + cur_t[None, :]
+
+        n_sub = 2 * params.historyKeyframeSearchNum + 1
+        offs = jnp.arange(n_sub) - params.historyKeyframeSearchNum
+        sub_idx = jnp.clip(cand + offs, 0, K - 1)
+        sub_ok = (sub_idx >= 0) & (sub_idx < state.kf_count)
+        sub_pts = state.kf_surf[sub_idx]  # (n_sub, S, 3)
+        sub_val = state.kf_surf_valid[sub_idx] & sub_ok[:, None]
+        t = state.kf_trans[sub_idx]
+        q = state.kf_quat[sub_idx]
+        tgt = (lie.quat_rotate(q[:, None, :], sub_pts) + t[:, None, :]).reshape(-1, 3)
+        tgtv = sub_val.reshape(-1)
+        tgt_ds, tgt_val, _ = pc.voxel_downsample(
+            tgt, tgtv, params.mappingSurfLeafSize, caps.loop_submap
+        )
+
+        res = icp_ops.icp_point2point(
+            src_w, srcv, tgt_ds, tgt_val,
+            jnp.zeros(3, src.dtype), lie.quat_identity(src.dtype),
+            max_corr_dist=params.historyKeyframeSearchRadius * 2.0,
+            iters=caps.icp_iters,
+        )
+        good = res.fitness < params.historyKeyframeFitnessScore
+
+        def add_factor(state):
+            # corrected current pose: T_corr = ICP ∘ T_cur
+            t_cor, q_cor = lie.se3_compose(
+                res.trans, res.quat, cur_t, state.kf_quat[cur]
+            )
+            # between: T_cand^-1 ∘ T_corr  (pose_from=cand … wait: reference
+            # uses poseFrom=corrected current, poseTo=cand, factor cur->cand)
+            ti, qi = lie.se3_relative(
+                t_cor, q_cor, state.kf_trans[cand], state.kf_quat[cand]
+            )
+            noise = jnp.maximum(res.fitness, 1e-6)
+            sqrtw = jnp.full((6,), 1.0, src.dtype) / jnp.sqrt(noise)
+            f = K + state.n_loops  # loop slots live after the K-1 odom slots
+            g = state.graph
+            g = g._replace(
+                bf_i=g.bf_i.at[f].set(cur),
+                bf_j=g.bf_j.at[f].set(cand),
+                bf_trans=g.bf_trans.at[f].set(ti),
+                bf_quat=g.bf_quat.at[f].set(qi),
+                bf_sqrtw=g.bf_sqrtw.at[f].set(sqrtw),
+                bf_valid=g.bf_valid.at[f].set(True),
+            )
+            return state._replace(
+                graph=g,
+                n_loops=state.n_loops + 1,
+                loop_pending=jnp.array(True),
+                last_loop_kf=cur,
+            )
+
+        state = jax.lax.cond(
+            good & (state.n_loops < caps.max_loops), add_factor, lambda s: s, state
+        )
+        return state, LoopResult(found=good, kf_from=cur, kf_to=cand, fitness=res.fitness)
+
+    def no_icp(state):
+        return state, LoopResult(
+            found=jnp.array(False), kf_from=cur, kf_to=jnp.int32(-1),
+            fitness=jnp.float32(jnp.inf),
+        )
+
+    return jax.lax.cond(has_cand, do_icp, no_icp, state)

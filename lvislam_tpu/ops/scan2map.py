@@ -126,7 +126,12 @@ def corner_coeffs(
     n = (pts_world - foot) / jnp.maximum(d, 1e-9)[:, None]
     s = 1.0 - 0.9 * jnp.abs(d)
     ok &= s > 0.1
-    return Coeffs(normal=s[:, None] * n, offset=s * d, valid=ok)
+    okf = ok[:, None]
+    return Coeffs(
+        normal=jnp.where(okf, s[:, None] * n, 0.0),
+        offset=jnp.where(ok, s * d, 0.0),
+        valid=ok,
+    )
 
 
 def surf_coeffs(
@@ -156,7 +161,14 @@ def surf_coeffs(
     rng = jnp.linalg.norm(pts_lidar, axis=-1)
     s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(rng, 1e-9)))
     ok &= s > 0.1
-    return Coeffs(normal=s[:, None] * n, offset=s * pd2, valid=ok)
+    # sanitize: padded/degenerate rows can carry inf (d0 ~ 1/eps); masked
+    # multiplies would still poison the normal equations with inf*0 = NaN
+    okf = ok[:, None]
+    return Coeffs(
+        normal=jnp.where(okf, s[:, None] * n, 0.0),
+        offset=jnp.where(ok, s * pd2, 0.0),
+        valid=ok,
+    )
 
 
 def _euler_jacobians(x6: jax.Array, pts: jax.Array):
@@ -243,6 +255,7 @@ def scan_to_map(
     map_surf_valid: jax.Array,
     max_iters: int = 20,
     map_chunk: int = 8192,
+    eigen_thresh: float = 100.0,
 ) -> GNState:
     """Full scan-to-map optimization (`scan2MapOptimization`,
     `mapOptimization.cpp:1315-1343`): iterate correspondence search +
@@ -270,7 +283,8 @@ def scan_to_map(
         )
         pts = jnp.concatenate([corner_pts, surf_pts])
         new_x, conv, proj, degen, n_res = gn_update(
-            st.x6, pts, coeffs, st.it == 0, st.proj, st.degenerate
+            st.x6, pts, coeffs, st.it == 0, st.proj, st.degenerate,
+            eigen_thresh=eigen_thresh,
         )
         return GNState(
             x6=new_x,
