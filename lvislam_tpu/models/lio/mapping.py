@@ -117,6 +117,13 @@ class LioMapState(NamedTuple):
     # incremental odometry chain (`publishOdometry` statics)
     incr_x6: jax.Array  # (6,) incremental odometry pose
     degenerate: jax.Array  # () bool
+    # cached assembled local map (the reference's laserCloudMapContainer +
+    # *FromMapDS, rebuilt on keyframe insertion / loop correction instead of
+    # per scan — identical content, since the keyframe set only changes then)
+    map_corner: jax.Array  # (Mc, 3)
+    map_corner_valid: jax.Array  # (Mc,)
+    map_surf: jax.Array  # (Ms, 3)
+    map_surf_valid: jax.Array  # (Ms,)
 
 
 class MapOutputs(NamedTuple):
@@ -152,6 +159,10 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         vins_reset_id=jnp.int32(0),
         incr_x6=jnp.zeros(6, dtype),
         degenerate=jnp.array(False),
+        map_corner=jnp.zeros((caps.map_corner, 3), dtype),
+        map_corner_valid=jnp.zeros(caps.map_corner, bool),
+        map_surf=jnp.zeros((caps.map_surf, 3), dtype),
+        map_surf_valid=jnp.zeros(caps.map_surf, bool),
     )
 
 
@@ -408,7 +419,9 @@ def map_step(
         feats.surf_xyz, feats.surf_valid, params.mappingSurfLeafSize, caps.scan_surf
     )
 
-    mc, mc_val, ms, ms_val = _assemble_local_map(state, caps, params, scan["stamp"])
+    # cached local map (rebuilt on keyframe insertion below)
+    mc, mc_val = state.map_corner, state.map_corner_valid
+    ms, ms_val = state.map_surf, state.map_surf_valid
 
     enough = (jnp.sum(c_val) > params.edgeFeatureMinValidNum) & (
         jnp.sum(s_val) > params.surfFeatureMinValidNum
@@ -447,7 +460,12 @@ def map_step(
 
     def with_kf(state):
         state = _add_keyframe(state, feats, caps, params, scan["stamp"])
-        return _maybe_optimize(state)
+        state = _maybe_optimize(state)
+        mc, mc_val, ms, ms_val = _assemble_local_map(state, caps, params, scan["stamp"])
+        return state._replace(
+            map_corner=mc, map_corner_valid=mc_val,
+            map_surf=ms, map_surf_valid=ms_val,
+        )
 
     state = jax.lax.cond(is_kf, with_kf, lambda s: s, state)
 

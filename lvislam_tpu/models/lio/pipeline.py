@@ -1,17 +1,24 @@
 """Host-side LIO driver: wires the front-end stages and the mapping step
-into one per-scan call — the single-process equivalent of the reference's
-imageProjection -> featureExtraction -> mapOptimization DDS chain
-(SURVEY.md §3.1). Used by the replay harness, the integration tests, and
-the benchmark."""
+into one fused jitted per-scan call — the single-process equivalent of the
+reference's imageProjection -> featureExtraction -> mapOptimization DDS
+chain (SURVEY.md §3.1).
+
+Per scan the host does only: pad/upload the raw points, enqueue ONE device
+program (projection + deskew + LOAM features + map optimization + optional
+loop closure under `lax.cond`), and append the device-resident pose to a
+log. No per-scan readbacks — the dispatch queue stays full, hiding the
+tunnel/dispatch latency of the axon TPU attachment.
+"""
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ...core.config import SystemConfig
 from ...core import lie
 from . import frontend, mapping
 
@@ -31,6 +38,64 @@ class LioConfig:
     odometry_surf_leaf: float = 0.4
     loop_closure_enabled: bool = True
     loop_every_n_scans: int = 10  # ~1 Hz at 10 Hz scan rate
+    exact_loam_selection: bool = False
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_scan", "horizon", "min_range", "max_range", "edge_threshold",
+        "surf_threshold", "surf_leaf", "caps", "params", "exact_selection",
+    ),
+)
+def lio_full_step(
+    state: mapping.LioMapState,
+    xyz, intensity, ring, rel_time, point_valid,
+    imu_rel_time, imu_gyro, imu_count, imu_rpy_init, imu_available,
+    stamp, odom_available, odom_trans, odom_quat, odom_reset_id,
+    do_loop,
+    *,
+    n_scan, horizon, min_range, max_range,
+    edge_threshold, surf_threshold, surf_leaf,
+    caps: mapping.LioCaps, params: mapping.LioParams,
+    exact_selection: bool = False,
+):
+    """One fused LIS step: deskew/projection -> features -> mapping
+    (-> loop closure when `do_loop`)."""
+    proj = frontend.project_scan(
+        xyz, intensity, ring, rel_time, point_valid,
+        imu_rel_time, imu_gyro, imu_count, imu_rpy_init, imu_available,
+        n_scan=n_scan, horizon=horizon,
+        min_range=min_range, max_range=max_range,
+    )
+    feats = frontend.extract_features(
+        proj,
+        edge_threshold=edge_threshold,
+        surf_threshold=surf_threshold,
+        surf_leaf=surf_leaf,
+        max_corner=caps.scan_corner,
+        max_surf=caps.scan_surf,
+        exact_selection=exact_selection,
+    )
+    scan_info = dict(
+        stamp=stamp,
+        imu_available=proj.imu_available,
+        imu_rpy_init=proj.imu_rpy_init,
+        odom_available=odom_available,
+        odom_trans=odom_trans,
+        odom_quat=odom_quat,
+        odom_reset_id=odom_reset_id,
+    )
+    state, out = mapping.map_step(state, scan_info, feats, caps, params)
+
+    def with_loop(state):
+        new_state, _ = mapping.loop_closure_step(state, caps, params)
+        return new_state
+
+    state = jax.lax.cond(
+        do_loop & (state.kf_count > 1), with_loop, lambda s: s, state
+    )
+    return state, out
 
 
 class LioPipeline:
@@ -39,23 +104,35 @@ class LioPipeline:
     def __init__(self, cfg: LioConfig):
         self.cfg = cfg
         self.state = mapping.lio_init(cfg.caps)
-        self.trajectory = []  # (stamp, x6) log
+        self.trajectory = []  # (stamp, x6 DeviceArray) log — lazy, no syncs
         self.scan_counter = 0
+        self._step = partial(
+            lio_full_step,
+            n_scan=cfg.n_scan,
+            horizon=cfg.horizon,
+            min_range=cfg.min_range,
+            max_range=cfg.max_range,
+            edge_threshold=cfg.edge_threshold,
+            surf_threshold=cfg.surf_threshold,
+            surf_leaf=cfg.odometry_surf_leaf,
+            caps=cfg.caps,
+            params=cfg.params,
+            exact_selection=cfg.exact_loam_selection,
+        )
 
     def _pad_points(self, scan):
         P = self.cfg.point_capacity
-        n = len(scan["xyz"])
-        idx = slice(0, min(n, P))
+        n = min(len(scan["xyz"]), P)
         xyz = np.zeros((P, 3), np.float32)
-        xyz[: min(n, P)] = scan["xyz"][idx]
+        xyz[:n] = scan["xyz"][:n]
         inten = np.zeros(P, np.float32)
-        inten[: min(n, P)] = scan["intensity"][idx]
+        inten[:n] = scan["intensity"][:n]
         ring = np.zeros(P, np.int32)
-        ring[: min(n, P)] = scan["ring"][idx]
+        ring[:n] = scan["ring"][:n]
         rel = np.zeros(P, np.float32)
-        rel[: min(n, P)] = scan["time"][idx]
+        rel[:n] = scan["time"][:n]
         valid = np.zeros(P, bool)
-        valid[: min(n, P)] = True
+        valid[:n] = True
         return xyz, inten, ring, rel, valid
 
     def _pad_imu(self, imu_t, imu_gyro):
@@ -65,7 +142,7 @@ class LioPipeline:
         g = np.zeros((M, 3), np.float32)
         t[:n] = imu_t[:n]
         g[:n] = imu_gyro[:n]
-        if n < M and n > 0:
+        if 0 < n < M:
             t[n:] = imu_t[n - 1]
             g[n:] = imu_gyro[n - 1]
         return t, g, n
@@ -80,50 +157,42 @@ class LioPipeline:
     ):
         """scan: dict(xyz, intensity, ring, time, stamp). imu_*: samples
         covering the scan, times relative to scan start. odom: optional VINS
-        initial-guess odometry (trans, quat, reset_id)."""
+        initial-guess odometry (trans, quat, reset_id). Fully async: returns
+        device arrays without syncing."""
         cfg = self.cfg
         xyz, inten, ring, rel, valid = self._pad_points(scan)
         it, ig, icount = self._pad_imu(imu_rel_time, imu_gyro)
 
-        proj = frontend.project_scan(
-            jnp.array(xyz), jnp.array(inten), jnp.array(ring), jnp.array(rel),
-            jnp.array(valid), jnp.array(it), jnp.array(ig), jnp.int32(icount),
-            jnp.array(imu_rpy_init if imu_rpy_init is not None else np.zeros(3), jnp.float32),
-            jnp.array(imu_rpy_init is not None and icount > 1),
-            n_scan=cfg.n_scan, horizon=cfg.horizon,
-            min_range=cfg.min_range, max_range=cfg.max_range,
-        )
-        feats = frontend.extract_features(
-            proj,
-            edge_threshold=cfg.edge_threshold,
-            surf_threshold=cfg.surf_threshold,
-            surf_leaf=cfg.odometry_surf_leaf,
-            max_corner=cfg.caps.scan_corner,
-            max_surf=cfg.caps.scan_surf,
-        )
-        scan_info = dict(
-            stamp=jnp.float32(scan["stamp"]),
-            imu_available=proj.imu_available,
-            imu_rpy_init=proj.imu_rpy_init,
-            odom_available=jnp.array(odom is not None),
-            odom_trans=jnp.array(odom["trans"] if odom else np.zeros(3), jnp.float32),
-            odom_quat=jnp.array(odom["quat"] if odom else [1, 0, 0, 0], jnp.float32),
-            odom_reset_id=jnp.int32(odom["reset_id"] if odom else 0),
-        )
-        self.state, out = mapping.map_step(
-            self.state, scan_info, feats, cfg.caps, cfg.params
-        )
         self.scan_counter += 1
-        if (
+        do_loop = (
             cfg.loop_closure_enabled
             and self.scan_counter % cfg.loop_every_n_scans == 0
-            and int(self.state.kf_count) > 1
-        ):
-            self.state, _ = mapping.loop_closure_step(self.state, cfg.caps, cfg.params)
-
-        x6 = np.asarray(out.x6)
-        self.trajectory.append((scan["stamp"], x6))
+        )
+        self.state, out = self._step(
+            self.state,
+            jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(ring),
+            jnp.asarray(rel), jnp.asarray(valid),
+            jnp.asarray(it), jnp.asarray(ig), jnp.int32(icount),
+            jnp.asarray(
+                imu_rpy_init if imu_rpy_init is not None else np.zeros(3, np.float32),
+                dtype=jnp.float32,
+            ),
+            jnp.asarray(imu_rpy_init is not None and icount > 1),
+            jnp.float32(scan["stamp"]),
+            jnp.asarray(odom is not None),
+            jnp.asarray(odom["trans"] if odom else np.zeros(3), dtype=jnp.float32),
+            jnp.asarray(odom["quat"] if odom else np.array([1.0, 0, 0, 0]), dtype=jnp.float32),
+            jnp.int32(odom["reset_id"] if odom else 0),
+            jnp.asarray(do_loop),
+        )
+        self.trajectory.append((scan["stamp"], out.x6))
         return out
+
+    def trajectory_array(self) -> np.ndarray:
+        """Sync point: materialize the logged poses as (N, 6) numpy."""
+        if not self.trajectory:
+            return np.zeros((0, 6), np.float32)
+        return np.stack([np.asarray(x6) for _, x6 in self.trajectory])
 
     def pose_matrix(self, x6=None):
         x6 = self.state.x6 if x6 is None else jnp.asarray(x6)

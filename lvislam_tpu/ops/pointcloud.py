@@ -29,10 +29,14 @@ def livox_columns(ring: jax.Array, valid: jax.Array, n_scan: int) -> jax.Array:
     """Livox column index = per-ring arrival counter
     (`imageProjection.cpp:602-606`): the i-th valid point on ring r gets
     column (number of prior valid points on ring r)."""
-    cols = jnp.zeros(ring.shape, jnp.int32)
-    one_hot = jax.nn.one_hot(jnp.where(valid, ring, n_scan), n_scan + 1, dtype=jnp.int32)
-    counts = jnp.cumsum(one_hot, axis=0) - one_hot  # exclusive per-ring cumsum
-    return jnp.take_along_axis(counts, ring[:, None], axis=1)[:, 0]
+    # cumsum along the MINOR axis only: a major-axis cumsum with a tiny minor
+    # dim takes XLA:TPU ~2 minutes to compile (serial lowering)
+    one_hot = (
+        jnp.where(valid, ring, n_scan)[None, :]
+        == jnp.arange(n_scan)[:, None]
+    ).astype(jnp.int32)  # (n_scan, P)
+    counts = jnp.cumsum(one_hot, axis=-1) - one_hot  # exclusive prefix per ring
+    return jnp.take_along_axis(counts, jnp.clip(ring, 0, n_scan - 1)[None, :], axis=0)[0]
 
 
 def spherical_columns(xyz: jax.Array, horizon_scan: int) -> jax.Array:
@@ -104,17 +108,23 @@ def deskew_points(
     equivalent to first order for intra-scan rotations.
     """
 
+    # vectorized table interpolation: pad invalid entries to +inf so a single
+    # searchsorted covers all points at once (no per-point vmap — this keeps
+    # the XLA graph small and the lookup one fused gather)
+    M = imu_time.shape[0]
+    t_sorted = jnp.where(jnp.arange(M) < imu_valid_count, imu_time, jnp.inf)
+
     def interp(t):
-        # index of first table entry with time > t, clamped
-        idx = jnp.sum((imu_time <= t) & (jnp.arange(imu_time.shape[0]) < imu_valid_count)) - 1
+        idx = jnp.searchsorted(t_sorted, t, side="right") - 1
         idx = jnp.clip(idx, 0, imu_valid_count - 1)
         nxt = jnp.clip(idx + 1, 0, imu_valid_count - 1)
-        t0, t1 = imu_time[idx], imu_time[nxt]
-        ratio = jnp.where(t1 > t0, (t - t0) / (t1 - t0), 0.0)
+        t0 = t_sorted[idx]
+        t1 = jnp.where(jnp.isfinite(t_sorted[nxt]), t_sorted[nxt], t0)
+        ratio = jnp.where(t1 > t0, (t - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0)
         ratio = jnp.clip(ratio, 0.0, 1.0)
-        return lie.quat_slerp(imu_quat[idx], imu_quat[nxt], ratio)
+        return lie.quat_slerp(imu_quat[idx], imu_quat[nxt], ratio[..., None])
 
-    q_pts = jax.vmap(interp)(rel_time)  # (P, 4)
+    q_pts = interp(rel_time)  # (P, 4)
     q_ref = interp(ref_time)
     q_corr = lie.quat_multiply(
         jnp.broadcast_to(lie.quat_conjugate(q_ref), q_pts.shape), q_pts

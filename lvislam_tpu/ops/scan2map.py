@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from . import smallmat
 
 _BIG = jnp.float32(1e10)
 
@@ -48,45 +49,43 @@ def knn(
     ref: jax.Array,  # (M, 3)
     ref_valid: jax.Array,  # (M,)
     k: int = 5,
-    chunk: int = 8192,
+    chunk: int = 8192,  # kept for API compat; memory budget drives blocking
+    block_elems: int = 1 << 25,
 ):
-    """Exact k-NN: streaming top-k over map chunks.
+    """Exact k-NN against the full reference set.
+
+    TPU shape: the (Qb, M) squared-distance block is one MXU matmul fused by
+    XLA directly into `top_k` — never materialized in HBM at full size. The
+    query dimension is blocked (`lax.scan`) to bound the live block to
+    `block_elems` floats. Exact == PCL `nearestKSearch` semantics.
 
     Returns (idx (Q,k) int32, sqdist (Q,k)). Invalid reference points are at
     +inf distance; invalid queries return garbage (mask downstream).
     """
+    Q = query.shape[0]
     M = ref.shape[0]
-    n_chunks = max(1, (M + chunk - 1) // chunk)
-    pad = n_chunks * chunk - M
-    ref_p = jnp.pad(ref, ((0, pad), (0, 0)))
-    refv_p = jnp.pad(ref_valid, (0, pad))
-    ref_chunks = ref_p.reshape(n_chunks, chunk, 3)
-    refv_chunks = refv_p.reshape(n_chunks, chunk)
+    qb = max(1, min(Q, block_elems // max(M, 1)))
+    n_blocks = (Q + qb - 1) // qb
+    pad = n_blocks * qb - Q
+    q_p = jnp.pad(query, ((0, pad), (0, 0)))
+    q_blocks = q_p.reshape(n_blocks, qb, 3)
 
-    q_sq = jnp.sum(query * query, axis=-1, keepdims=True)  # (Q,1)
+    r_sq = jnp.sum(ref * ref, axis=-1)
+    r_sq = jnp.where(ref_valid, r_sq, _BIG)  # adds _BIG to invalid entries
 
-    def body(carry, inp):
-        best_d, best_i = carry
-        ref_c, refv_c, base = inp
-        r_sq = jnp.sum(ref_c * ref_c, axis=-1)  # (chunk,)
-        # MXU: -2 q . r
-        cross = query @ ref_c.T  # (Q, chunk)
-        d = q_sq + r_sq[None, :] - 2.0 * cross
-        d = jnp.where(refv_c[None, :], d, _BIG)
-        idx = base + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, d.shape)], axis=1)
-        nd, sel = jax.lax.top_k(-cat_d, k)
-        return (-nd, jnp.take_along_axis(cat_i, sel, axis=1)), None
+    def body(_, qb_pts):
+        d = (
+            jnp.sum(qb_pts * qb_pts, axis=-1, keepdims=True)
+            + r_sq[None, :]
+            - 2.0 * (qb_pts @ ref.T)
+        )
+        nd, ni = jax.lax.top_k(-d, k)
+        return None, (ni.astype(jnp.int32), -nd)
 
-    init = (
-        jnp.full((query.shape[0], k), _BIG),
-        jnp.zeros((query.shape[0], k), jnp.int32),
-    )
-    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
-    (best_d, best_i), _ = jax.lax.scan(body, init, (ref_chunks, refv_chunks, bases))
-    best_d = jnp.maximum(best_d, 0.0)
-    return best_i, best_d
+    _, (idx, dist) = jax.lax.scan(body, None, q_blocks)
+    idx = idx.reshape(n_blocks * qb, k)[:Q]
+    dist = dist.reshape(n_blocks * qb, k)[:Q]
+    return idx, jnp.maximum(dist, 0.0)
 
 
 class Coeffs(NamedTuple):
@@ -111,9 +110,11 @@ def corner_coeffs(
     center = jnp.mean(nbrs, axis=1)
     dev = nbrs - center[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", dev, dev) / 5.0
-    w, v = jnp.linalg.eigh(cov)  # ascending
-    ok &= w[:, 2] > 3.0 * w[:, 1]
-    line_dir = v[:, :, 2]  # (N, 3) largest eigenvector
+    # closed-form symmetric eigendecomposition (smallmat): batched LAPACK
+    # eigh lowers to a slow QR iteration on TPU
+    l1, l2, l3 = smallmat.sym3x3_eigvals(cov)
+    ok &= l1 > 3.0 * l2
+    line_dir = smallmat.sym3x3_max_eigvec(cov, l1, l2, l3)  # (N, 3)
 
     # distance from point to the line through `center` with direction u:
     # d = |(p - c) x u|; gradient wrt p is the unit vector from the line foot
