@@ -274,12 +274,14 @@ def simulate_lidar_scan(
 def procedural_texture(pts: np.ndarray) -> np.ndarray:
     """Deterministic pseudo-random intensity from 3D position — a 'painted'
     world for photometric (KLT) simulation. Smooth-ish multi-frequency hash."""
+    # wavelengths 0.5-4 m: smooth at typical pixel footprints so photometric
+    # tracking (LK) sees valid gradients instead of aliasing noise
     v = (
-        np.sin(pts @ np.array([12.9898, 78.233, 37.719])) * 0.5
-        + np.sin(pts @ np.array([3.75, 9.27, 5.33])) * 0.3
-        + np.sin(pts @ np.array([31.1, 17.7, 43.1])) * 0.2
+        np.sin(pts @ np.array([1.7, 2.9, 1.3])) * 0.45
+        + np.sin(pts @ np.array([4.1, 3.3, 5.7]) + 1.3) * 0.35
+        + np.sin(pts @ np.array([8.9, 7.1, 11.3]) + 2.1) * 0.2
     )
-    return (0.5 + 0.5 * np.sin(v * 6.0)).astype(np.float32)
+    return (0.5 + 0.45 * v).astype(np.float32)
 
 
 def render_camera_image(
