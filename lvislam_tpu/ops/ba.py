@@ -1,0 +1,444 @@
+"""Sliding-window visual-inertial bundle adjustment + Schur/QR
+marginalization.
+
+TPU re-design of the reference's Ceres problem (`estimator.cpp:696-977`
+`optimization`) and its marginalization machinery
+(`factor/marginalization_factor.{h,cpp}`):
+
+- parameter blocks = (W+1) poses + (W+1) speed/bias + extrinsic + td +
+  per-feature inverse depths, flattened into one tangent vector
+  delta = [frames(15 each) | extr(6) | td(1) | depths(F)];
+- residual blocks = marginalization prior (linear FEJ replay,
+  `marginalization_factor.cpp:363-375`), 10 whitened IMU preintegration
+  factors (`factor/imu_factor.h` via `ops.preintegration.evaluate`),
+  and all projection factors with td compensation
+  (`factor/projection_td_factor.cpp`), sqrt_info = FOCAL_LENGTH/1.5
+  (`estimator.cpp:17-18`); lidar-depth features held constant
+  (`estimator.cpp:774-785`);
+- the solver is damped Gauss-Newton with a QR solve per iteration —
+  square-root form for f32 safety (SURVEY.md §7 hard part (d)); Ceres'
+  DENSE_SCHUR elimination is unnecessary at this size on TPU: the full
+  dense (172+F)-dim system solves in microseconds;
+- marginalization is QR elimination (SRIF): stack the factors touching the
+  dropped states, order columns [dropped | kept], one QR -> the trailing
+  triangle is the exact new prior with first-estimate Jacobians.
+
+Everything is fixed-shape: invalid frames/features carry zero weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from . import preintegration as pre
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    window: int = 10
+    max_features: int = 512
+    focal: float = 460.0  # FOCAL_LENGTH for sqrt_info
+    iterations: int = 8
+    damping: float = 1e-5
+    estimate_td: bool = True
+    estimate_extrinsic: bool = False
+
+    @property
+    def d_state(self) -> int:
+        return (self.window + 1) * 15 + 6 + 1
+
+    @property
+    def d_total(self) -> int:
+        return self.d_state + self.max_features
+
+
+class WindowState(NamedTuple):
+    """The estimator's window variables (`estimator.h:77-127`)."""
+
+    Ps: jax.Array  # (W+1, 3)
+    Qs: jax.Array  # (W+1, 4)
+    Vs: jax.Array  # (W+1, 3)
+    Bas: jax.Array  # (W+1, 3)
+    Bgs: jax.Array  # (W+1, 3)
+    tic: jax.Array  # (3,)
+    qic: jax.Array  # (4,)
+    td: jax.Array  # ()
+
+
+class Prior(NamedTuple):
+    """Linear FEJ prior: r(x) = r0 + J0 @ (x [-] x_bar), where x_bar is the
+    linearization (first-estimate) point — the reference keeps the same
+    anchor via `keep_block_data` (`marginalization_factor.cpp:363-375`)."""
+
+    J: jax.Array  # (Dp, d_state)
+    r: jax.Array  # (Dp,)
+    ws_bar: "WindowState"  # linearization point
+
+
+def _zero_ws(cfg: BAConfig, dtype=jnp.float32) -> "WindowState":
+    W1 = cfg.window + 1
+    return WindowState(
+        Ps=jnp.zeros((W1, 3), dtype),
+        Qs=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (W1, 1)),
+        Vs=jnp.zeros((W1, 3), dtype),
+        Bas=jnp.zeros((W1, 3), dtype),
+        Bgs=jnp.zeros((W1, 3), dtype),
+        tic=jnp.zeros(3, dtype),
+        qic=jnp.array([1.0, 0, 0, 0], dtype),
+        td=jnp.zeros((), dtype),
+    )
+
+
+def empty_prior(cfg: BAConfig, dtype=jnp.float32) -> Prior:
+    return Prior(
+        J=jnp.zeros((cfg.d_state, cfg.d_state), dtype),
+        r=jnp.zeros(cfg.d_state, dtype),
+        ws_bar=_zero_ws(cfg, dtype),
+    )
+
+
+def state_minus(ws: "WindowState", ws_bar: "WindowState", cfg: BAConfig) -> jax.Array:
+    """Tangent difference x [-] x_bar in the delta layout."""
+    dq = jax.vmap(
+        lambda qb, q: lie.quat_log(lie.quat_multiply(lie.quat_conjugate(qb), q))
+    )(ws_bar.Qs, ws.Qs)
+    frames = jnp.concatenate(
+        [ws.Ps - ws_bar.Ps, dq, ws.Vs - ws_bar.Vs,
+         ws.Bas - ws_bar.Bas, ws.Bgs - ws_bar.Bgs], axis=-1
+    ).reshape(-1)
+    dex = jnp.concatenate([
+        ws.tic - ws_bar.tic,
+        lie.quat_log(lie.quat_multiply(lie.quat_conjugate(ws_bar.qic), ws.qic)),
+    ])
+    return jnp.concatenate([frames, dex, (ws.td - ws_bar.td)[None]])
+
+
+def _retract_window(ws: WindowState, d_state: jax.Array, cfg: BAConfig) -> WindowState:
+    W1 = cfg.window + 1
+    dd = d_state[: W1 * 15].reshape(W1, 15)
+    Ps = ws.Ps + dd[:, 0:3]
+    Qs = jax.vmap(lambda q, phi: lie.quat_multiply(q, lie.so3_exp_quat(phi)))(
+        ws.Qs, dd[:, 3:6]
+    )
+    Vs = ws.Vs + dd[:, 6:9]
+    Bas = ws.Bas + dd[:, 9:12]
+    Bgs = ws.Bgs + dd[:, 12:15]
+    ex = d_state[W1 * 15 : W1 * 15 + 6]
+    tic = ws.tic + ex[0:3] * (1.0 if cfg.estimate_extrinsic else 0.0)
+    qic = lie.quat_multiply(
+        ws.qic, lie.so3_exp_quat(ex[3:6] * (1.0 if cfg.estimate_extrinsic else 0.0))
+    )
+    td = ws.td + d_state[W1 * 15 + 6] * (1.0 if cfg.estimate_td else 0.0)
+    return WindowState(Ps=Ps, Qs=Qs, Vs=Vs, Bas=Bas, Bgs=Bgs, tic=tic, qic=qic, td=td)
+
+
+def projection_residuals(
+    ws: WindowState,
+    inv_depth: jax.Array,  # (F,)
+    obs: jax.Array,  # (F, W+1, 2)
+    vel: jax.Array,  # (F, W+1, 2)
+    obs_valid: jax.Array,  # (F, W+1)
+    start_frame: jax.Array,  # (F,)
+    feat_valid: jax.Array,  # (F,)
+    td0: jax.Array,  # () td at feature observation time (reference TD)
+    cfg: BAConfig,
+):
+    """(F, W+1, 2) whitened projection residuals + mask. The reference's
+    ProjectionTdFactor: observation in frame i un-projected by inv depth,
+    moved through body+extrinsic chain into frame j, compared on the image
+    plane; td shifts both observations along their velocities."""
+    F, W1, _ = obs.shape
+    dt_td = ws.td - td0
+
+    # td-corrected observations
+    obs_c = obs - vel * dt_td
+
+    Ric = lie.quat_to_matrix(ws.qic)
+
+    sf = jnp.clip(start_frame, 0, W1 - 1)
+    obs_i = jnp.take_along_axis(obs_c, sf[:, None, None].repeat(2, -1), axis=1)[:, 0]
+    depth = 1.0 / jnp.maximum(inv_depth, 1e-6)
+    pts_cam_i = jnp.concatenate(
+        [obs_i, jnp.ones((F, 1), obs.dtype)], axis=-1
+    ) * depth[:, None]
+
+    # camera i -> world
+    Pi = ws.Ps[sf]
+    Qi = ws.Qs[sf]
+    pts_imu_i = lie.quat_rotate(ws.qic[None], pts_cam_i) + ws.tic[None]
+    pts_w = lie.quat_rotate(Qi, pts_imu_i) + Pi
+
+    # world -> camera j for all frames
+    def to_frame(Pj, Qj):
+        pts_imu_j = lie.quat_rotate(lie.quat_conjugate(Qj)[None], pts_w - Pj[None])
+        return lie.quat_rotate(
+            lie.quat_conjugate(ws.qic)[None], pts_imu_j - ws.tic[None]
+        )
+
+    pts_cam_j = jax.vmap(to_frame, in_axes=(0, 0), out_axes=1)(ws.Ps, ws.Qs)  # (F, W1, 3)
+    zj = pts_cam_j[..., 2]
+    proj = pts_cam_j[..., :2] / jnp.maximum(zj, 1e-3)[..., None]
+    r = proj - obs_c
+
+    anchor_ok = jnp.take_along_axis(obs_valid, sf[:, None], axis=1)[:, 0]
+    mask = (
+        obs_valid
+        & feat_valid[:, None]
+        & anchor_ok[:, None]
+        & (inv_depth > 0)[:, None]
+        & (jnp.arange(W1)[None, :] != start_frame[:, None])
+    )
+    sqrt_info = cfg.focal / 1.5
+    r = jnp.where(mask[..., None], r * sqrt_info, 0.0)
+    return r, mask
+
+
+def imu_residuals(ws: WindowState, pints: pre.PreintState, frame_valid: jax.Array,
+                  gravity: jax.Array, cfg: BAConfig):
+    """(W, 15) whitened IMU residuals between consecutive frames."""
+    W = cfg.window
+
+    def one(k):
+        st = jax.tree.map(lambda x: x[k], pints)
+        r = pre.evaluate(
+            st,
+            ws.Ps[k], ws.Qs[k], ws.Vs[k], ws.Bas[k], ws.Bgs[k],
+            ws.Ps[k + 1], ws.Qs[k + 1], ws.Vs[k + 1], ws.Bas[k + 1], ws.Bgs[k + 1],
+            gravity,
+        )
+        cov = st.covariance + 1e-10 * jnp.eye(15, dtype=r.dtype)
+        L = jnp.linalg.cholesky(cov)
+        rw = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return rw
+
+    rs = jax.vmap(one)(jnp.arange(W))
+    return jnp.where(frame_valid[1:, None] & frame_valid[:-1, None], rs, 0.0)
+
+
+def full_residual(
+    delta: jax.Array,
+    ws: WindowState,
+    inv_depth0: jax.Array,
+    table_obs, table_vel, table_obs_valid, table_start, feat_valid, lidar_flag,
+    pints: pre.PreintState,
+    frame_valid: jax.Array,
+    prior: Prior,
+    gravity: jax.Array,
+    td0: jax.Array,
+    cfg: BAConfig,
+):
+    d_state = delta[: cfg.d_state]
+    d_depth = delta[cfg.d_state :]
+    ws2 = _retract_window(ws, d_state, cfg)
+    # lidar-depth features constant (`estimator.cpp:774-785`)
+    inv_depth = inv_depth0 + jnp.where(lidar_flag, 0.0, d_depth)
+
+    r_prior = prior.r + prior.J @ state_minus(ws2, prior.ws_bar, cfg)
+    r_imu = imu_residuals(ws2, pints, frame_valid, gravity, cfg).reshape(-1)
+    r_proj, _ = projection_residuals(
+        ws2, inv_depth, table_obs, table_vel, table_obs_valid,
+        table_start, feat_valid, td0, cfg,
+    )
+    return jnp.concatenate([r_prior, r_imu, r_proj.reshape(-1)])
+
+
+class BAResult(NamedTuple):
+    ws: WindowState
+    inv_depth: jax.Array
+    final_cost: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def solve(
+    ws: WindowState,
+    inv_depth: jax.Array,
+    table_obs, table_vel, table_obs_valid, table_start, feat_valid, lidar_flag,
+    pints: pre.PreintState,
+    frame_valid: jax.Array,
+    prior: Prior,
+    gravity: jax.Array,
+    td0: jax.Array,
+    cfg: BAConfig,
+) -> BAResult:
+    """Damped GN with QR solves (the Ceres DOGLEG-timeboxed equivalent)."""
+
+    D = cfg.d_total
+
+    def it(carry, _):
+        ws, inv_depth = carry
+
+        def res(d):
+            return full_residual(
+                d, ws, inv_depth, table_obs, table_vel, table_obs_valid,
+                table_start, feat_valid, lidar_flag, pints, frame_valid,
+                prior, gravity, td0, cfg,
+            )
+
+        r = res(jnp.zeros(D, ws.Ps.dtype))
+        J = jax.jacfwd(res)(jnp.zeros(D, ws.Ps.dtype))
+        # damped least squares via augmented QR:  [J; sqrt(l) I] d = [-r; 0]
+        lam = jnp.sqrt(jnp.asarray(cfg.damping, ws.Ps.dtype))
+        A = jnp.concatenate([J, lam * jnp.eye(D, dtype=ws.Ps.dtype)], axis=0)
+        b = jnp.concatenate([-r, jnp.zeros(D, ws.Ps.dtype)])
+        Q, R = jnp.linalg.qr(A)
+        d = jax.scipy.linalg.solve_triangular(
+            R + 1e-8 * jnp.eye(D, dtype=ws.Ps.dtype), Q.T @ b, lower=False
+        )
+        ws2 = _retract_window(ws, d[: cfg.d_state], cfg)
+        inv2 = inv_depth + jnp.where(lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :])
+        return (ws2, inv2), jnp.sum(r * r)
+
+    (ws, inv_depth), costs = jax.lax.scan(
+        it, (ws, inv_depth), None, length=cfg.iterations
+    )
+    return BAResult(ws=ws, inv_depth=inv_depth, final_cost=costs[-1])
+
+
+# ---------------------------------------------------------------------------
+# Marginalization (SRIF / QR elimination)
+# ---------------------------------------------------------------------------
+
+def _drop_perm(cfg: BAConfig, drop_frame: int):
+    """Column permutation putting frame `drop_frame`'s 15 dims first within
+    the state block."""
+    d = cfg.d_state
+    drop = jnp.arange(drop_frame * 15, (drop_frame + 1) * 15)
+    keep = jnp.array(
+        [i for i in range(d) if not (drop_frame * 15 <= i < (drop_frame + 1) * 15)]
+    )
+    return drop, keep
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def marginalize_old(
+    ws: WindowState,
+    inv_depth: jax.Array,
+    table_obs, table_vel, table_obs_valid, table_start, feat_valid, lidar_flag,
+    pints: pre.PreintState,
+    frame_valid: jax.Array,
+    prior: Prior,
+    gravity: jax.Array,
+    td0: jax.Array,
+    cfg: BAConfig,
+) -> Prior:
+    """MARGIN_OLD: eliminate frame 0 (and the depths of features anchored
+    there) from [prior + IMU(0,1) + frame-0 projections]; returns the new
+    prior over the SHIFTED window layout (old frame k+1 -> new frame k), new
+    frame W unconstrained (`estimator.cpp:813-903` + Schur
+    `marginalization_factor.cpp:266-290`)."""
+    D = cfg.d_total
+    anchored = feat_valid & (table_start == 0)
+
+    def res(d):
+        d_state = d[: cfg.d_state]
+        d_depth = d[cfg.d_state :]
+        ws2 = _retract_window(ws, d_state, cfg)
+        inv2 = inv_depth + jnp.where(lidar_flag, 0.0, d_depth)
+        r_prior = prior.r + prior.J @ state_minus(ws2, prior.ws_bar, cfg)
+        # IMU factor 0->1 only
+        r_imu = imu_residuals(ws2, pints, frame_valid, gravity, cfg)[0]
+        # projections of frame-0 anchored features only
+        r_proj, _ = projection_residuals(
+            ws2, inv2, table_obs, table_vel, table_obs_valid,
+            table_start, anchored, td0, cfg,
+        )
+        return jnp.concatenate([r_prior, r_imu, r_proj.reshape(-1)])
+
+    z = jnp.zeros(D, ws.Ps.dtype)
+    r0 = res(z)
+    J = jax.jacfwd(res)(z)
+
+    # column order: [frame0 (15) | anchored depths (F) | kept state]
+    # anchored-depth columns: zero out non-anchored depth columns (they do
+    # not appear in these factors anyway) and keep them out of the output.
+    J_f0 = J[:, 0:15]
+    J_depth = J[:, cfg.d_state :] * anchored[None, :]
+    J_keep = J[:, 15 : cfg.d_state]
+    A = jnp.concatenate([J_f0, J_depth, J_keep], axis=1)
+    n_drop = 15 + cfg.max_features
+    # Rank-deficiency guard: unobserved dropped variables (padded feature
+    # slots, depth columns of non-anchored features) are zero columns; a
+    # singular R11 would let kept-variable constraints leak into the rows
+    # being discarded. A tiny prior row per dropped variable keeps the
+    # elimination well-posed without meaningfully informing the marginal.
+    eps = jnp.asarray(1e-3, A.dtype)
+    reg = jnp.concatenate(
+        [eps * jnp.eye(n_drop, dtype=A.dtype),
+         jnp.zeros((n_drop, A.shape[1] - n_drop), A.dtype)], axis=1
+    )
+    A = jnp.concatenate([A, reg], axis=0)
+    r0a = jnp.concatenate([r0, jnp.zeros(n_drop, A.dtype)])
+    Q, R = jnp.linalg.qr(A)
+    c = Q.T @ r0a
+    J_new = R[n_drop:, n_drop:]
+    r_new = c[n_drop : n_drop + J_new.shape[0]]
+
+    # shift window indices: kept state was [frames 1..W | extr | td]; the
+    # new layout wants [frames 0..W-1 | (free frame W zeros) | extr | td]
+    d_kept = cfg.d_state - 15
+    Jp = jnp.zeros((cfg.d_state, cfg.d_state), ws.Ps.dtype)
+    rp = jnp.zeros(cfg.d_state, ws.Ps.dtype)
+    W = cfg.window
+    # frames 1..W -> 0..W-1
+    Jp = Jp.at[: d_kept, 0 : W * 15].set(J_new[:, 0 : W * 15])
+    # extr + td columns
+    Jp = Jp.at[: d_kept, (W + 1) * 15 :].set(J_new[:, W * 15 :])
+    rp = rp.at[:d_kept].set(r_new)
+    # linearization point: the current states relabeled to the post-slide
+    # layout (old frame k+1 -> new frame k)
+    roll = lambda x: jnp.concatenate([x[1:], x[-1:]], axis=0)
+    ws_bar = ws._replace(
+        Ps=roll(ws.Ps), Qs=roll(ws.Qs), Vs=roll(ws.Vs),
+        Bas=roll(ws.Bas), Bgs=roll(ws.Bgs),
+    )
+    return Prior(J=Jp, r=rp, ws_bar=ws_bar)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def marginalize_second_new(prior: Prior, cfg: BAConfig) -> Prior:
+    """MARGIN_SECOND_NEW: drop pose/speedbias of frame W-1 from the prior
+    only (`estimator.cpp:905-976`), then relabel frame W -> W-1."""
+    W = cfg.window
+    d = cfg.d_state
+    drop_lo, drop_hi = (W - 1) * 15, W * 15
+    # reorder columns [dropped | kept]
+    idx_drop = jnp.arange(drop_lo, drop_hi)
+    idx_keep = jnp.concatenate(
+        [jnp.arange(0, drop_lo), jnp.arange(drop_hi, d)]
+    )
+    A = jnp.concatenate([prior.J[:, idx_drop], prior.J[:, idx_keep]], axis=1)
+    eps = jnp.asarray(1e-3, A.dtype)
+    reg = jnp.concatenate(
+        [eps * jnp.eye(15, dtype=A.dtype),
+         jnp.zeros((15, A.shape[1] - 15), A.dtype)], axis=1
+    )
+    A = jnp.concatenate([A, reg], axis=0)
+    ra = jnp.concatenate([prior.r, jnp.zeros(15, A.dtype)])
+    Q, R = jnp.linalg.qr(A)
+    c = Q.T @ ra
+    J_new = R[15:, 15:]
+    r_new = c[15 : 15 + J_new.shape[0]]
+    d_kept = d - 15
+    Jp = jnp.zeros((d, d), prior.J.dtype)
+    rp = jnp.zeros(d, prior.r.dtype)
+    # kept layout was [frames 0..W-2 | frame W | extr | td]; relabel frame W
+    # to slot W-1 (it replaces the dropped one)
+    Jp = Jp.at[:d_kept, 0 : (W - 1) * 15].set(J_new[:, 0 : (W - 1) * 15])
+    Jp = Jp.at[:d_kept, (W - 1) * 15 : W * 15].set(
+        J_new[:, (W - 1) * 15 : W * 15]
+    )
+    Jp = Jp.at[:d_kept, (W + 1) * 15 :].set(J_new[:, W * 15 :])
+    rp = rp.at[:d_kept].set(r_new)
+    wb = prior.ws_bar
+    put = lambda x: x.at[W - 1].set(x[W])
+    ws_bar = wb._replace(
+        Ps=put(wb.Ps), Qs=put(wb.Qs), Vs=put(wb.Vs),
+        Bas=put(wb.Bas), Bgs=put(wb.Bgs),
+    )
+    return Prior(J=Jp, r=rp, ws_bar=ws_bar)

@@ -208,6 +208,54 @@ def repropagate(
     return preintegrate(fresh, dts, accs, gyrs, noise)
 
 
+def preint_compose(a: PreintState, b: PreintState) -> PreintState:
+    """Compose two consecutive preintegrations Δ(0→1) ∘ Δ(1→2) → Δ(0→2)
+    (the `slideWindowNew` merge, `estimator.cpp:992-1001`, done on the
+    integrated quantities instead of replaying raw samples):
+
+        q02 = q01 ⊗ q12,  v02 = v01 + R01 v12,
+        p02 = p01 + v01·Δt12 + R01 p12,
+
+    with first-order composition of the bias Jacobians and covariance
+    (error-state transition F maps δ1 errors into the composite)."""
+    dt2 = b.sum_dt
+    R01 = lie.quat_to_matrix(a.delta_q)
+    p02 = a.delta_p + a.delta_v * dt2 + R01 @ b.delta_p
+    v02 = a.delta_v + R01 @ b.delta_v
+    q02 = lie.quat_normalize(lie.quat_multiply(a.delta_q, b.delta_q))
+
+    # error-state transition of block a into the composite:
+    #   δp02 = δp01 + dt2·δv01 − R01 [p12]× δθ01 (+ bias terms via J’s)
+    #   δθ02 = R12ᵀ δθ01, δv02 = δv01 − R01 [v12]× δθ01
+    eye = jnp.eye(3, dtype=a.delta_p.dtype)
+    z = jnp.zeros((3, 3), a.delta_p.dtype)
+    R12 = lie.quat_to_matrix(b.delta_q)
+    Fa = jnp.block([
+        [eye, -R01 @ lie.skew(b.delta_p), eye * dt2, z, z],
+        [z, R12.T, z, z, z],
+        [z, -R01 @ lie.skew(b.delta_v), eye, z, z],
+        [z, z, z, eye, z],
+        [z, z, z, z, eye],
+    ])
+    # block b enters rotated by R01 on p/v, identity on θ/bias
+    Gb = jnp.block([
+        [R01, z, z, z, z],
+        [z, eye, z, z, z],
+        [z, z, R01, z, z],
+        [z, z, z, eye, z],
+        [z, z, z, z, eye],
+    ])
+    cov = Fa @ a.covariance @ Fa.T + Gb @ b.covariance @ Gb.T
+    jac = Fa @ a.jacobian + Gb @ b.jacobian
+    return PreintState(
+        delta_p=p02, delta_q=q02, delta_v=v02,
+        jacobian=jac, covariance=cov,
+        sum_dt=a.sum_dt + b.sum_dt,
+        linearized_ba=a.linearized_ba, linearized_bg=a.linearized_bg,
+        acc_0=b.acc_0, gyr_0=b.gyr_0,
+    )
+
+
 def bias_corrected_delta(state: PreintState, bai: jax.Array, bgi: jax.Array):
     """First-order bias-corrected (delta_p, delta_q, delta_v)
     (`integration_base.h:170-180`)."""
