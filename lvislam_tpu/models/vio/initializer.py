@@ -1,0 +1,299 @@
+"""Visual-inertial initialization — the reference's bootstrap path B
+(`estimator.cpp:273-413` initialStructure, `initial/initial_sfm.cpp`
+GlobalSFM, `initial/initial_aligment.cpp` VisualIMUAlignment,
+`initial/solve_5pts.cpp` MotionEstimator).
+
+Stages, each a fixed-shape batched op:
+
+1. `find_reference_frame`: the earliest window frame with >= 20 px mean
+   parallax (30/460 in normalized units against the newest frame) and a
+   valid essential-matrix relative pose (`relativePose`,
+   `estimator.cpp:493-522`; `ops.triangulate.relative_pose`).
+2. `global_sfm`: up-to-scale structure from motion over the window —
+   alternating resection (batched PnP Gauss-Newton per frame) and
+   intersection (batched two/multi-view triangulation), the TPU-friendly
+   equivalent of the reference's PnP-chain + Ceres BA
+   (`initial_sfm.cpp:117-315`).
+3. `solve_gyro_bias`: LS over SfM-vs-preintegration rotation increments
+   (`initial_aligment.cpp:3-36`) + repropagation.
+4. `linear_alignment`: velocities, gravity, and metric scale from the
+   preintegration deltas (`initial_aligment.cpp:124-209`, incl. the
+   scale/100 conditioning trick); `refine_gravity` constrains ||g|| on the
+   2-dof tangent basis x4 iterations (`:53-121`).
+5. `apply_alignment`: rotate everything into the gravity-aligned world
+   (yaw-zeroed via `lie.g2R`), scale positions, seed velocities/biases
+   (`visualInitialAlign`, `estimator.cpp:416-491`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import lie
+from ...ops import ba, preintegration as pre, triangulate as tri
+from . import feature_manager as fm
+
+
+class SfmResult(NamedTuple):
+    Qs: jax.Array  # (W+1, 4) camera rotations (world=frame l)
+    Ts: jax.Array  # (W+1, 3) camera translations (world->cam convention R,t)
+    points: jax.Array  # (F, 3) world points
+    point_valid: jax.Array  # (F,)
+    ok: jax.Array  # ()
+    ref_frame: jax.Array  # () the l index
+
+
+def find_reference_frame(table: fm.FeatureTable, window: int,
+                         min_parallax: float = 30.0 / 460.0):
+    """Per-candidate-frame mean parallax against the newest frame
+    (`relativePose`, `estimator.cpp:493-522`). Returns (l, parallax_ok (W,))."""
+    W = window
+    newest = W
+    both = table.obs_valid[:, :W] & table.obs_valid[:, newest:newest + 1] & (
+        table.ids >= 0
+    )[:, None]
+    par = jnp.linalg.norm(
+        table.obs[:, :W] - table.obs[:, newest:newest + 1], axis=-1
+    )
+    n = jnp.sum(both, axis=0)
+    mean_par = jnp.sum(jnp.where(both, par, 0.0), axis=0) / jnp.maximum(n, 1)
+    ok = (mean_par > min_parallax) & (n >= 20)
+    l = jnp.argmax(ok)  # earliest qualifying frame
+    return l, ok
+
+
+def _pnp_gn(obs, valid, pts, q0, t0, iters: int = 10):
+    """Single-frame pose GN: minimize reprojection of known 3D points.
+    world->cam: x_c = R x_w + t."""
+
+    def residual(x, q_base):
+        q = lie.quat_multiply(q_base, lie.so3_exp_quat(x[:3]))
+        Pc = lie.quat_rotate(q[None], pts) + x[3:6][None]
+        proj = Pc[..., :2] / jnp.maximum(Pc[..., 2:3], 1e-3)
+        w = (valid & (Pc[..., 2] > 0.1))[:, None]
+        return jnp.where(w, proj - obs, 0.0).reshape(-1)
+
+    def step(carry, _):
+        x, qb = carry
+        J = jax.jacfwd(residual)(x, qb)
+        r = residual(x, qb)
+        H = J.T @ J + 1e-6 * jnp.eye(6)
+        return (x - jnp.linalg.solve(H, J.T @ r), qb), None
+
+    x0 = jnp.concatenate([jnp.zeros(3, t0.dtype), t0])
+    (x, _), _ = jax.lax.scan(step, (x0, q0), None, length=iters)
+    q = lie.quat_normalize(lie.quat_multiply(q0, lie.so3_exp_quat(x[:3])))
+    return q, x[3:6]
+
+
+@partial(jax.jit, static_argnames=("window", "rounds"))
+def global_sfm(
+    table: fm.FeatureTable,
+    window: int,
+    rounds: int = 4,
+) -> SfmResult:
+    """Alternating resection/intersection SfM in the frame-l camera world
+    (`GlobalSFM::construct`, `initial_sfm.cpp:117-315`)."""
+    W = window
+    F = table.obs.shape[0]
+    l, par_ok = find_reference_frame(table, window)
+    sfm_ok = jnp.any(par_ok)
+
+    feat_ok = table.ids >= 0
+    obs_l = jnp.take_along_axis(
+        table.obs, jnp.broadcast_to(l, (F, 1))[:, :, None].repeat(2, -1), axis=1
+    )[:, 0]
+    seen_l = jnp.take_along_axis(table.obs_valid, jnp.broadcast_to(l, (F, 1)), axis=1)[:, 0]
+    obs_n = table.obs[:, W]
+    seen_n = table.obs_valid[:, W]
+
+    rel = tri.relative_pose(obs_l, obs_n, feat_ok & seen_l & seen_n)
+    q_rel = lie.matrix_to_quat(rel.R)
+
+    # initial poses: frame l = identity; newest = (R, t); others start at l
+    Qs = jnp.tile(lie.quat_identity(), (W + 1, 1))
+    Ts = jnp.zeros((W + 1, 3))
+    Qs = Qs.at[W].set(q_rel)
+    Ts = Ts.at[W].set(rel.t)
+
+    # initial structure from l <-> newest
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P1 = jnp.concatenate([rel.R, rel.t[:, None]], axis=1)
+    X0 = tri.triangulate_two_view(P0, P1, obs_l, obs_n)
+    pt_valid = feat_ok & seen_l & seen_n & (X0[..., 2] > 0.1)
+    X = jnp.where(pt_valid[:, None], X0, 0.0)
+
+    def one_round(carry, _):
+        Qs, Ts, X, pt_valid = carry
+
+        # resection: every frame PnP against current structure
+        def pnp_frame(k):
+            q, t = _pnp_gn(
+                table.obs[:, k], table.obs_valid[:, k] & pt_valid, X,
+                Qs[k], Ts[k],
+            )
+            return q, t
+
+        qs, ts = jax.vmap(pnp_frame)(jnp.arange(W + 1))
+        # keep frame l pinned at identity (gauge)
+        qs = qs.at[l].set(lie.quat_identity())
+        ts = ts.at[l].set(jnp.zeros(3))
+
+        # intersection: multi-view triangulation of every feature
+        Rs = jax.vmap(lie.quat_to_matrix)(qs)
+
+        def tri_feat(obsk, validk):
+            pt, _ = tri.triangulate_multiview(Rs, ts, obsk, validk)
+            return pt
+
+        Xn = jax.vmap(tri_feat)(table.obs, table.obs_valid & feat_ok[:, None])
+        nview = jnp.sum(table.obs_valid & feat_ok[:, None], axis=1)
+        # cheirality in the anchor frame l
+        Xl = jnp.einsum("ij,fj->fi", Rs[l], Xn) + ts[l][None]
+        good = feat_ok & (nview >= 2) & (Xl[:, 2] > 0.1) & jnp.all(
+            jnp.isfinite(Xn), axis=1
+        )
+        Xn = jnp.where(good[:, None], Xn, 0.0)
+        return (qs, ts, Xn, good), None
+
+    (Qs, Ts, X, pt_valid), _ = jax.lax.scan(
+        one_round, (Qs, Ts, X, pt_valid), None, length=rounds
+    )
+    ok = sfm_ok & rel.ok & (jnp.sum(pt_valid) > 20)
+    return SfmResult(Qs=Qs, Ts=Ts, points=X, point_valid=pt_valid, ok=ok,
+                     ref_frame=l)
+
+
+# ---------------------------------------------------------------------------
+# Visual-IMU alignment (`initial_aligment.cpp`)
+# ---------------------------------------------------------------------------
+
+def solve_gyro_bias(q_cam: jax.Array, pints: pre.PreintState, qic: jax.Array,
+                    window: int):
+    """LS gyro bias from rotation increments (`solveGyroscopeBias`,
+    `initial_aligment.cpp:3-36`): for each pair, J^T J dbg = J^T 2*vec(
+    q_preint^-1 * q_ij)."""
+    W = window
+    # body rotations from camera SfM rotations: q_wb = q_wc * qic^-1
+    q_wb = jax.vmap(lambda q: lie.quat_multiply(q, lie.quat_conjugate(qic)))(q_cam)
+
+    def one(k):
+        st = jax.tree.map(lambda x: x[k], pints)
+        q_ij = lie.quat_multiply(lie.quat_conjugate(q_wb[k]), q_wb[k + 1])
+        J = st.jacobian[pre.O_R : pre.O_R + 3, pre.O_BG : pre.O_BG + 3]
+        r = 2.0 * lie.quat_multiply(lie.quat_conjugate(st.delta_q), q_ij)[1:4]
+        return J.T @ J, J.T @ r
+
+    As, bs = jax.vmap(one)(jnp.arange(W))
+    A = jnp.sum(As, axis=0) + 1e-8 * jnp.eye(3)
+    b = jnp.sum(bs, axis=0)
+    return jnp.linalg.solve(A, b)
+
+
+def linear_alignment(
+    Ps_cam: jax.Array,  # (W+1, 3) camera positions in the SfM frame (c0)
+    Qs_body: jax.Array,  # (W+1, 4) body orientations in c0
+    pints: pre.PreintState,
+    tic: jax.Array,
+    window: int,
+    g_norm: float,
+):
+    """Velocities + gravity + scale (`LinearAlignment`,
+    `initial_aligment.cpp:124-209`). State x = [v_0..v_W (3 each), g(3),
+    s(1)]; returns (x, ok)."""
+    W = window
+    n_state = (W + 1) * 3 + 3 + 1
+
+    def rows(k):
+        st = jax.tree.map(lambda x: x[k], pints)
+        dt = st.sum_dt
+        Ri = lie.quat_to_matrix(Qs_body[k])
+        Rj = lie.quat_to_matrix(Qs_body[k + 1])
+        RiT = Ri.T
+        # position row block (3, n_state) and velocity row block
+        Ap = jnp.zeros((3, n_state))
+        Ap = jax.lax.dynamic_update_slice(Ap, -dt * jnp.eye(3), (0, 3 * k))
+        Ap = jax.lax.dynamic_update_slice(Ap, RiT * dt * dt / 2.0, (0, 3 * (W + 1)))
+        Ap = jax.lax.dynamic_update_slice(
+            Ap, (RiT @ (Ps_cam[k + 1] - Ps_cam[k]))[:, None] / 100.0,
+            (0, 3 * (W + 1) + 3),
+        )
+        bp = st.delta_p + RiT @ Rj @ tic - tic
+        Av = jnp.zeros((3, n_state))
+        Av = jax.lax.dynamic_update_slice(Av, -jnp.eye(3), (0, 3 * k))
+        Av = jax.lax.dynamic_update_slice(Av, RiT @ Rj, (0, 3 * (k + 1)))
+        Av = jax.lax.dynamic_update_slice(Av, RiT * dt, (0, 3 * (W + 1)))
+        bv = st.delta_v
+        return jnp.concatenate([Ap, Av]), jnp.concatenate([bp, bv])
+
+    A, b = jax.vmap(rows)(jnp.arange(W))
+    A = A.reshape(-1, n_state)
+    b = b.reshape(-1)
+    H = A.T @ A * 1000.0 + 1e-8 * jnp.eye(n_state)
+    x = jnp.linalg.solve(H, A.T @ b * 1000.0)
+    s = x[-1] / 100.0
+    g = x[3 * (W + 1) : 3 * (W + 1) + 3]
+    ok = (s > 0.0) & (jnp.abs(jnp.linalg.norm(g) - g_norm) < 1.0)
+    return x, s, g, ok
+
+
+def refine_gravity(
+    Ps_cam, Qs_body, pints, tic, window: int, g_norm: float, g0: jax.Array,
+    iters: int = 4,
+):
+    """Tangent-basis gravity refinement (`RefineGravity`,
+    `initial_aligment.cpp:53-121`): g = g_norm*ĝ + w1 b1 + w2 b2."""
+    W = window
+    n_state = (W + 1) * 3 + 2 + 1
+
+    def basis(g):
+        a = g / jnp.linalg.norm(g)
+        tmp = jnp.array([0.0, 0.0, 1.0])
+        tmp = jnp.where(jnp.abs(a[2]) > 0.9, jnp.array([1.0, 0.0, 0.0]), tmp)
+        b = tmp - a * (a @ tmp)
+        b = b / jnp.linalg.norm(b)
+        c = jnp.cross(a, b)
+        return jnp.stack([b, c], axis=1)  # (3, 2)
+
+    def one_iter(g0, _):
+        lxly = basis(g0)
+        gdir = g0 / jnp.linalg.norm(g0) * g_norm
+
+        def rows(k):
+            st = jax.tree.map(lambda x: x[k], pints)
+            dt = st.sum_dt
+            Ri = lie.quat_to_matrix(Qs_body[k])
+            Rj = lie.quat_to_matrix(Qs_body[k + 1])
+            RiT = Ri.T
+            Ap = jnp.zeros((3, n_state))
+            Ap = jax.lax.dynamic_update_slice(Ap, -dt * jnp.eye(3), (0, 3 * k))
+            Ap = jax.lax.dynamic_update_slice(Ap, RiT @ lxly * dt * dt / 2.0, (0, 3 * (W + 1)))
+            Ap = jax.lax.dynamic_update_slice(
+                Ap, (RiT @ (Ps_cam[k + 1] - Ps_cam[k]))[:, None] / 100.0,
+                (0, 3 * (W + 1) + 2),
+            )
+            bp = st.delta_p + RiT @ Rj @ tic - tic - RiT @ gdir * dt * dt / 2.0
+            Av = jnp.zeros((3, n_state))
+            Av = jax.lax.dynamic_update_slice(Av, -jnp.eye(3), (0, 3 * k))
+            Av = jax.lax.dynamic_update_slice(Av, RiT @ Rj, (0, 3 * (k + 1)))
+            Av = jax.lax.dynamic_update_slice(Av, RiT @ lxly * dt, (0, 3 * (W + 1)))
+            bv = st.delta_v - RiT @ gdir * dt
+            return jnp.concatenate([Ap, Av]), jnp.concatenate([bp, bv])
+
+        A, b = jax.vmap(rows)(jnp.arange(W))
+        A = A.reshape(-1, n_state)
+        b = b.reshape(-1)
+        H = A.T @ A * 1000.0 + 1e-8 * jnp.eye(n_state)
+        x = jnp.linalg.solve(H, A.T @ b * 1000.0)
+        dg = x[3 * (W + 1) : 3 * (W + 1) + 2]
+        g_new = gdir + lxly @ dg
+        return g_new, x
+
+    g, xs = jax.lax.scan(one_iter, g0, None, length=iters)
+    x = jax.tree.map(lambda a: a[-1], xs)
+    s = x[-1] / 100.0
+    return g, x, s
