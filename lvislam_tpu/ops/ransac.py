@@ -136,8 +136,16 @@ class PnPResult(NamedTuple):
 
 def _dlt_pose(X: jax.Array, uv: jax.Array):
     """Batched 6+ point DLT for P = [R|t] from world points X (H, K, 3) and
-    normalized image points uv (H, K, 2). Returns (R (H,3,3), t (H,3))."""
+    normalized image points uv (H, K, 2). Returns (R (H,3,3), t (H,3)).
+
+    Object points are Hartley-normalized (centroid + isotropic scale) before
+    the homogeneous solve — without it the 12-dim system is too
+    ill-conditioned in f32 for scenes far from the origin."""
     H, K, _ = X.shape
+    c = jnp.mean(X, axis=1, keepdims=True)
+    spread = jnp.mean(jnp.linalg.norm(X - c, axis=-1), axis=1)
+    s = jnp.sqrt(3.0) / jnp.maximum(spread, 1e-6)
+    X = (X - c) * s[:, None, None]
     zeros = jnp.zeros((H, K, 4), X.dtype)
     Xh = jnp.concatenate([X, jnp.ones((H, K, 1), X.dtype)], axis=-1)
     r1 = jnp.concatenate([Xh, zeros, -uv[..., 0:1] * Xh], axis=-1)
@@ -161,6 +169,8 @@ def _dlt_pose(X: jax.Array, uv: jax.Array):
         return 0.5 * (R + jnp.linalg.inv(jnp.swapaxes(R, 1, 2))), None
 
     R, _ = jax.lax.scan(body, M, None, length=6)
+    # undo the normalization: x ∝ R(s(X - c)) + t_n = s[R X + (t_n/s - R c)]
+    t = t / s[:, None] - jnp.einsum("hij,hj->hi", R, c[:, 0, :])
     return R, t
 
 
