@@ -490,24 +490,11 @@ class LoopResult(NamedTuple):
     fitness: jax.Array  # ()
 
 
-@partial(jax.jit, static_argnames=("caps", "params"))
-def loop_closure_step(state: LioMapState, caps: LioCaps, params: LioParams):
-    """Distance-based candidate search + submap ICP + loop factor insertion
-    (`detectLoopClosureDistance` `:630-663`, `performLoopClosure` `:549-628`).
-    Returns (new_state, LoopResult)."""
+def _loop_icp(state: LioMapState, cur, cand, caps: LioCaps, params: LioParams):
+    """Submap ICP verification + loop factor insertion for an explicit
+    (cur, cand) keyframe pair (`performLoopClosure`, `:549-628`)."""
     K = caps.max_keyframes
-    cur = state.kf_count - 1
     cur_t = state.kf_trans[cur]
-    cur_time = state.kf_time[cur]
-    kf_idx = jnp.arange(K)
-    old_ok = (kf_idx < state.kf_count) & (
-        (cur_time - state.kf_time) > params.historyKeyframeSearchTimeDiff
-    )
-    d = jnp.linalg.norm(state.kf_trans - cur_t[None, :], axis=-1)
-    cand_ok = old_ok & (d < params.historyKeyframeSearchRadius)
-    # closest qualifying old keyframe
-    cand = jnp.argmin(jnp.where(cand_ok, d, jnp.inf))
-    has_cand = jnp.any(cand_ok) & (state.kf_count > 1) & (cur != state.last_loop_kf)
 
     def do_icp(state):
         # source: current keyframe surf+corner cloud (lidar frame -> world at
@@ -574,10 +561,51 @@ def loop_closure_step(state: LioMapState, caps: LioCaps, params: LioParams):
         )
         return state, LoopResult(found=good, kf_from=cur, kf_to=cand, fitness=res.fitness)
 
+    return do_icp(state)
+
+
+@partial(jax.jit, static_argnames=("caps", "params"))
+def loop_closure_step(state: LioMapState, caps: LioCaps, params: LioParams):
+    """Distance-based candidate search + submap ICP
+    (`detectLoopClosureDistance` `:630-663`). Returns (state, LoopResult)."""
+    K = caps.max_keyframes
+    cur = state.kf_count - 1
+    cur_t = state.kf_trans[cur]
+    cur_time = state.kf_time[cur]
+    kf_idx = jnp.arange(K)
+    old_ok = (kf_idx < state.kf_count) & (
+        (cur_time - state.kf_time) > params.historyKeyframeSearchTimeDiff
+    )
+    d = jnp.linalg.norm(state.kf_trans - cur_t[None, :], axis=-1)
+    cand_ok = old_ok & (d < params.historyKeyframeSearchRadius)
+    cand = jnp.argmin(jnp.where(cand_ok, d, jnp.inf))
+    has_cand = jnp.any(cand_ok) & (state.kf_count > 1) & (cur != state.last_loop_kf)
+
     def no_icp(state):
         return state, LoopResult(
             found=jnp.array(False), kf_from=cur, kf_to=jnp.int32(-1),
             fitness=jnp.float32(jnp.inf),
         )
 
-    return jax.lax.cond(has_cand, do_icp, no_icp, state)
+    return jax.lax.cond(
+        has_cand, lambda s: _loop_icp(s, cur, cand, caps, params), no_icp, state
+    )
+
+
+@partial(jax.jit, static_argnames=("caps", "params"))
+def loop_closure_external(state: LioMapState, cur: jax.Array, old: jax.Array,
+                          caps: LioCaps, params: LioParams):
+    """External (visual) loop candidate -> same ICP verification
+    (`detectLoopClosureExternal`, `mapOptimization.cpp:665-741` — here the
+    channel actually works; the reference's topic names never matched)."""
+    ok = (cur < state.kf_count) & (old >= 0) & (old < state.kf_count) & (cur != old)
+
+    def no_icp(state):
+        return state, LoopResult(
+            found=jnp.array(False), kf_from=cur, kf_to=jnp.int32(-1),
+            fitness=jnp.float32(jnp.inf),
+        )
+
+    return jax.lax.cond(
+        ok, lambda s: _loop_icp(s, cur, old, caps, params), no_icp, state
+    )

@@ -1,0 +1,397 @@
+"""The fused LVI system — every subsystem wired through the deterministic
+bus, reproducing the reference's tight-coupling contract (SURVEY.md §3.5):
+
+1. VIS -> LIS initial guess: the estimator's IMU-rate propagated odometry
+   (with failure count as reset id) feeds `updateInitialGuess`
+   (`visualization.cpp:96-103` -> `imageProjection.cpp:449-456` ->
+   `mapOptimization.cpp:826-861`).
+2. LIS -> VIS depth: deskewed clouds accumulate over a 5 s window in the
+   VINS world frame and feed `DepthRegister`
+   (`imageProjection.cpp:652` -> `feature_tracker_node.cpp:273-377`).
+3. LIS -> VIS initialization: IMU-rate fused odometry (TransformFusion) +
+   bias/gravity/reset-id side channel seeds `initialStructure`
+   (`imuPreintegration.cpp:527-534` -> `initial_alignment.h:79-180`).
+4. VIS -> LIS loop candidates: the visual loop detector's verified matches
+   feed the LIS ICP loop closure — the channel the reference left dead
+   (`/vins/pose_graph/match_frame` vs `/vins/loop/match_frame`,
+   SURVEY.md §3.4) is wired and working here.
+5. Failure/reset protocol: VINS failure count invalidates LIS guesses;
+   IMU-preintegration resets invalidate VINS init frames
+   (`estimator.cpp:226-234`, `imuPreintegration.cpp:293-298`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.config import CameraIntrinsics
+from ..ops import ba, pointcloud as pc
+from ..utils.bus import Bus
+from .lio import mapping
+from .lio.pipeline import LioConfig, LioPipeline
+from .lio import imu_fusion as fus
+from .vio import estimator as est
+from .vio import feature_manager as fm
+from .vio import feature_tracker as ft
+from .loop import loop_detector as ld
+
+
+@dataclasses.dataclass
+class LviConfig:
+    lio: LioConfig = dataclasses.field(default_factory=LioConfig)
+    fusion: fus.FusionParams = dataclasses.field(default_factory=fus.FusionParams)
+    vio_caps: fm.VioCaps = dataclasses.field(default_factory=fm.VioCaps)
+    vio_params: est.VioParams = dataclasses.field(default_factory=est.VioParams)
+    ba: ba.BAConfig = dataclasses.field(default_factory=ba.BAConfig)
+    tracker: ft.TrackerParams = dataclasses.field(default_factory=ft.TrackerParams)
+    camera: CameraIntrinsics = dataclasses.field(default_factory=CameraIntrinsics)
+    loop_caps: ld.LoopCaps = dataclasses.field(default_factory=ld.LoopCaps)
+    image_height: int = 240
+    image_width: int = 320
+    use_lidar_depth: bool = True
+    lidar_skip: int = 3  # keep 1-in-(skip+1) clouds for depth (`params_camera.yaml`)
+    depth_cloud_slots: int = 12
+    depth_cloud_points: int = 4096
+    use_loop_detector: bool = True
+    # camera-IMU extrinsic
+    tic: tuple = (0.0, 0.0, 0.0)
+    qic: tuple = (1.0, 0.0, 0.0, 0.0)  # wxyz
+
+
+class LviSystem:
+    """Single-process, bus-driven LVI SLAM (the 7-executable reference stack
+    in one deterministic loop)."""
+
+    def __init__(self, cfg: LviConfig):
+        self.cfg = cfg
+        self.bus = Bus()
+        self.lio = LioPipeline(cfg.lio)
+        self.fusion = fus.fusion_init(cfg.fusion)
+        self.tracker = ft.tracker_init(cfg.image_height, cfg.image_width, cfg.tracker)
+        self.vio = est.vio_init(cfg.vio_caps, cfg.vio_params)
+        self.vio = self.vio._replace(ws=self.vio.ws._replace(
+            tic=jnp.array(cfg.tic, jnp.float32),
+            qic=jnp.array(cfg.qic, jnp.float32),
+        ))
+        self.loop_db = ld.db_init(cfg.loop_caps)
+
+        # host-side buffers
+        self.imu_times: list[float] = []
+        self.imu_gyro: list[np.ndarray] = []
+        self.imu_acc: list[np.ndarray] = []
+        self.imu_rpy: list[np.ndarray] = []
+        self.last_image_time = -1.0
+        self.last_lidar_time = -1.0
+        self.lidar_counter = 0
+        # depth cloud ring (VINS world frame)
+        S, P = cfg.depth_cloud_slots, cfg.depth_cloud_points
+        self.depth_clouds = np.zeros((S, P, 3), np.float32)
+        self.depth_valid = np.zeros((S, P), bool)
+        self.depth_stamps = np.full(S, -1e9)
+        self.depth_slot = 0
+        # cross-subsystem state
+        self.vins_odom = None  # latest VIS imu-propagate (for LIS guess)
+        self.lio_odoms: list[tuple] = []  # (stamp, trans, quat) of LIS fused odom
+        self.pending_loop = None
+        self.trajectory: list[tuple] = []
+        self.vio_frames = 0
+        self.frame_times: list[float] = []  # VIO window frame stamps
+
+        self.bus.subscribe("imu", self._on_imu)
+        self.bus.subscribe("lidar", self._on_lidar)
+        self.bus.subscribe("image", self._on_image)
+        # note: QoS depths (`utility.h:414-470`) only apply in streaming use
+        # (feed + run interleaved); a pre-enqueued batch replay must keep
+        # every message, so no depth limits are set here.
+
+    # ------------------------------------------------------------------ IMU
+    def _on_imu(self, stamp, msg):
+        self.imu_times.append(stamp)
+        self.imu_gyro.append(np.asarray(msg["gyro"], np.float32))
+        self.imu_acc.append(np.asarray(msg["acc"], np.float32))
+        self.imu_rpy.append(np.asarray(msg.get("rpy", np.zeros(3)), np.float32))
+        # bound buffers to ~10 s at 500 Hz
+        if len(self.imu_times) > 5000:
+            for b in (self.imu_times, self.imu_gyro, self.imu_acc, self.imu_rpy):
+                del b[:1000]
+
+    def _imu_window(self, t0, t1, cap):
+        ts = np.asarray(self.imu_times)
+        sel = np.nonzero((ts > t0) & (ts <= t1))[0]
+        n = min(len(sel), cap)
+        dts = np.zeros(cap, np.float32)
+        accs = np.zeros((cap, 3), np.float32)
+        gyrs = np.zeros((cap, 3), np.float32)
+        if n > 0:
+            tt = ts[sel[:n]]
+            dts[:n] = np.diff(tt, prepend=t0).astype(np.float32)
+            accs[:n] = np.stack([self.imu_acc[i] for i in sel[:n]])
+            gyrs[:n] = np.stack([self.imu_gyro[i] for i in sel[:n]])
+            accs[n:] = accs[n - 1]
+            gyrs[n:] = gyrs[n - 1]
+        return dts, accs, gyrs, n
+
+    # ---------------------------------------------------------------- LIDAR
+    def _on_lidar(self, stamp, scan):
+        # exchange 1: VIS initial guess for the LIS (incremental, reset-id
+        # guarded)
+        odom = None
+        if self.vins_odom is not None:
+            odom = dict(
+                trans=self.vins_odom["trans"], quat=self.vins_odom["quat"],
+                reset_id=self.vins_odom["reset_id"],
+            )
+        ts = np.asarray(self.imu_times)
+        sel = np.nonzero((ts >= stamp - 0.01) & (ts <= stamp + 0.15))[0]
+        irt = (ts[sel] - stamp).astype(np.float32)
+        ig = np.stack([self.imu_gyro[i] for i in sel]) if len(sel) else np.zeros((0, 3), np.float32)
+        rpy = self.imu_rpy[sel[0]] if len(sel) else None
+        out = self.lio.process_scan(scan, irt, ig, rpy, odom=odom)
+
+        # LIS incremental odometry -> IMU fusion correction (IMU frame)
+        t_inc, q_inc = mapping._x6_to_tq(out.incr_x6)
+        if not bool(np.asarray(self.fusion.initialized)):
+            self.fusion = fus.fusion_initialize(
+                self.fusion, t_inc, q_inc, self.cfg.fusion
+            )
+        else:
+            dts, accs, gyrs, n = self._imu_window(
+                self.last_lidar_time, stamp, 64
+            )
+            if n > 1:
+                self.fusion = fus.fusion_correct(
+                    self.fusion, jnp.asarray(dts), jnp.asarray(accs),
+                    jnp.asarray(gyrs), t_inc, q_inc,
+                    jnp.asarray(bool(np.asarray(out.degenerate))),
+                    self.cfg.fusion,
+                )
+        # exchange 3: fused odometry stream for VIS initialization
+        self.lio_odoms.append((
+            stamp, np.asarray(self.fusion.pos), np.asarray(self.fusion.quat),
+            np.asarray(self.fusion.vel), np.asarray(self.fusion.ba),
+            np.asarray(self.fusion.bg), int(self.fusion.reset_id),
+        ))
+        if len(self.lio_odoms) > 200:
+            del self.lio_odoms[:100]
+        self.last_lidar_time = stamp
+
+        # exchange 2: deskewed-cloud accumulation for the depth register
+        self.lidar_counter += 1
+        if self.cfg.use_lidar_depth and (
+            self.lidar_counter % (self.cfg.lidar_skip + 1) == 0
+        ):
+            self._accumulate_depth_cloud(stamp, out)
+        self.trajectory.append((stamp, np.asarray(out.x6)))
+
+    def _accumulate_depth_cloud(self, stamp, out):
+        """`lidar_callback` (`feature_tracker_node.cpp:273-377`): downsample
+        the deskewed cloud and store it in the VINS world frame — the
+        reference looks up the vins_world->vins_body TF, i.e. the cloud is
+        placed with the VIS's OWN odometry, not the LIS pose (the two frames
+        differ by the map-frame yaw/origin)."""
+        if self.vins_odom is None:
+            return  # no VINS TF yet (same behavior as a failed TF lookup)
+        st = self.lio.state
+        t = jnp.asarray(self.vins_odom["trans"], jnp.float32)
+        q = jnp.asarray(self.vins_odom["quat"], jnp.float32)
+        if not (np.isfinite(np.asarray(t)).all() and np.isfinite(np.asarray(q)).all()):
+            return
+        k = self.depth_slot % self.cfg.depth_cloud_slots
+        # deskewed-cloud sample: the current scan's surf downsample held in
+        # the kf arrays (lidar frame; lidar==body extrinsic here)
+        kf = max(int(st.kf_count) - 1, 0)
+        pts = np.asarray(st.kf_surf[kf])
+        val = np.asarray(st.kf_surf_valid[kf])
+        P = self.cfg.depth_cloud_points
+        pts_w = np.asarray(
+            lie.quat_rotate(q[None], jnp.asarray(pts[:P])) + t[None]
+        )
+        self.depth_clouds[k, : len(pts_w)] = pts_w
+        self.depth_valid[k, : len(pts_w)] = val[:P]
+        self.depth_stamps[k] = stamp
+        self.depth_slot += 1
+
+    # ---------------------------------------------------------------- IMAGE
+    def _on_image(self, stamp, msg):
+        cfg = self.cfg
+        img = jnp.asarray(msg["image"], jnp.float32)
+        self.tracker, tout = ft.tracker_step(
+            self.tracker, img, jnp.float32(stamp), cfg.tracker, cfg.camera
+        )
+
+        # depth channel from the accumulated cloud (exchange 2)
+        depth = np.full(cfg.tracker.max_cnt, -1.0, np.float32)
+        fresh = self.depth_stamps > stamp - 5.0
+        if cfg.use_lidar_depth and fresh.any() and self.vins_odom is not None:
+            clouds = self.depth_clouds[fresh].reshape(-1, 3)
+            cvalid = self.depth_valid[fresh].reshape(-1)
+            depth = np.asarray(ft.register_depth(
+                tout.norm, tout.valid, jnp.asarray(clouds), jnp.asarray(cvalid),
+                jnp.asarray(self.vins_odom["trans"]),
+                jnp.asarray(self.vins_odom["quat"]),
+            ))
+
+        # VIO: IMU since last frame, then the image
+        if self.last_image_time > 0:
+            dts, accs, gyrs, n = self._imu_window(
+                self.last_image_time, stamp, cfg.vio_caps.imu_buf
+            )
+            if n > 0:
+                self.vio = est.process_imu(
+                    self.vio, jnp.asarray(dts), jnp.asarray(accs),
+                    jnp.asarray(gyrs), cfg.vio_caps, cfg.vio_params,
+                )
+        self.last_image_time = stamp
+
+        self.frame_times.append(stamp)
+        if len(self.frame_times) > 64:
+            del self.frame_times[:32]
+        lidar_odom = self._lidar_seed(stamp)
+        self.vio, vout = est.process_image(
+            self.vio, tout.ids, tout.norm, tout.vel, jnp.asarray(depth),
+            tout.valid, lidar_odom, cfg.vio_caps, cfg.vio_params, cfg.ba,
+        )
+        self.vio_frames += 1
+
+        # exchange 1 publication: VIS odometry for the LIS initial guess
+        if bool(np.asarray(vout["initialized"])):
+            self.vins_odom = dict(
+                trans=np.asarray(vout["pos"]), quat=np.asarray(vout["quat"]),
+                reset_id=int(self.vio.failure_count),
+            )
+
+        # exchange 4: loop detection on VIO keyframes
+        if (
+            cfg.use_loop_detector
+            and bool(np.asarray(vout["initialized"]))
+            and bool(np.asarray(vout["is_keyframe"]))
+        ):
+            self._loop_detect(stamp, img, tout)
+
+    def _lidar_seed(self, stamp):
+        """Build the lidar-seeded init payload (`odometryRegister`,
+        `initial_alignment.h:79-180`): window states from the fused LIS
+        odometry stream at the VIO frame times."""
+        W1 = self.cfg.vio_caps.window + 1
+        empty = dict(
+            available=jnp.array(False), Ps=jnp.zeros((W1, 3)),
+            Qs=jnp.tile(jnp.array([1.0, 0, 0, 0]), (W1, 1)),
+            Vs=jnp.zeros((W1, 3)), ba=jnp.zeros(3), bg=jnp.zeros(3),
+        )
+        if bool(np.asarray(self.vio.initialized)) or len(self.lio_odoms) < 3:
+            return empty
+        if len(self.frame_times) < W1:
+            return empty
+        frame_ts = self.frame_times[-W1:]
+        odom_ts = np.array([o[0] for o in self.lio_odoms])
+        if frame_ts[0] < odom_ts[0]:
+            return empty
+        # per-frame: latest fused odometry before the frame time, propagated
+        # to the exact frame stamp with the raw IMU samples (the reference's
+        # odometryRegister matches IMU-rate odometry within 50 ms,
+        # `initial_alignment.h:94-180`)
+        from ..ops import preintegration as _pre
+        Ps, Qs, Vs = [], [], []
+        reset_ids = set()
+        G = np.array([0.0, 0.0, -self.cfg.fusion.imuGravity], np.float32)
+        for tf in frame_ts:
+            i = int(np.searchsorted(odom_ts, tf, side="right")) - 1
+            if i < 0:
+                return empty
+            o = self.lio_odoms[i]
+            reset_ids.add(o[6])
+            dts, accs, gyrs, n = self._imu_window(o[0], tf, 32)
+            nav = _pre.NavState(
+                pos=jnp.asarray(o[1], jnp.float32), quat=jnp.asarray(o[2], jnp.float32),
+                vel=jnp.asarray(o[3], jnp.float32), ba=jnp.asarray(o[4], jnp.float32),
+                bg=jnp.asarray(o[5], jnp.float32),
+            )
+            if n > 0:
+                nav = _pre.navstate_predict(
+                    nav, jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
+                    jnp.asarray(G),
+                )
+            Ps.append(np.asarray(nav.pos))
+            Qs.append(np.asarray(nav.quat))
+            Vs.append(np.asarray(nav.vel))
+        if len(reset_ids) != 1:
+            return empty  # reset happened inside the window (exchange 5)
+        o = self.lio_odoms[-1]
+        return dict(
+            available=jnp.array(True),
+            Ps=jnp.asarray(np.stack(Ps), jnp.float32),
+            Qs=jnp.asarray(np.stack(Qs), jnp.float32),
+            Vs=jnp.asarray(np.stack(Vs), jnp.float32),
+            ba=jnp.asarray(o[4], jnp.float32),
+            bg=jnp.asarray(o[5], jnp.float32),
+        )
+
+    def _loop_detect(self, stamp, img, tout):
+        """Visual loop detection + LIS external loop factor (the repaired
+        match_frame channel)."""
+        cfg = self.cfg
+        # 3D points of tracked features from VIO depths
+        tab = self.vio.table
+        eq = (tab.ids[:, None] == tout.ids[None, :]) & (tab.ids >= 0)[:, None]
+        slot_of = jnp.argmax(eq, axis=0)
+        has = jnp.any(eq, axis=0)
+        inv = tab.inv_depth[slot_of]
+        sf = tab.start_frame[slot_of]
+        obs0 = jnp.take_along_axis(
+            tab.obs, sf[:, None, None].repeat(2, -1), axis=1
+        )[:, 0]
+        depth0 = 1.0 / jnp.maximum(inv, 1e-6)
+        pts_c = jnp.concatenate([obs0, jnp.ones((obs0.shape[0], 1))], -1) * depth0[:, None]
+        ws = self.vio.ws
+        Pi = ws.Ps[sf]
+        Qi = ws.Qs[sf]
+        pts_imu = lie.quat_rotate(ws.qic[None], pts_c) + ws.tic[None]
+        pts_w = lie.quat_rotate(Qi, pts_imu) + Pi
+        pvalid = tout.valid & has & (inv > 0)
+
+        self.loop_db, cand = ld.add_and_detect(
+            self.loop_db, img, tout.uv, tout.norm, pts_w, pvalid,
+            jnp.float32(stamp), cfg.loop_caps,
+            focal=float(cfg.camera.gamma1),
+            center=jnp.array([cfg.camera.u0, cfg.camera.v0], jnp.float32),
+        )
+        if bool(np.asarray(cand.found)):
+            t_cur = stamp
+            t_old = float(self.loop_db.stamps[int(cand.old_index)])
+            self._external_loop(t_cur, t_old)
+
+    def _external_loop(self, t_cur, t_old):
+        """Map visual loop times to LIS keyframes and run the ICP verifier
+        (`detectLoopClosureExternal` semantics, `mapOptimization.cpp:665-741`
+        — functional here, unlike the reference's dead wire)."""
+        st = self.lio.state
+        times = np.asarray(st.kf_time)
+        n = int(st.kf_count)
+        if n < 2:
+            return
+        cur = int(np.argmin(np.abs(times[:n] - t_cur)))
+        old = int(np.argmin(np.abs(times[:n] - t_old)))
+        if abs(cur - old) < 2:
+            return
+        self.lio.state, _ = mapping.loop_closure_external(
+            st, jnp.int32(cur), jnp.int32(old), self.cfg.lio.caps,
+            self.cfg.lio.params,
+        )
+
+    # ---------------------------------------------------------------- input
+    def feed_imu(self, stamp, gyro, acc, rpy=None):
+        self.bus.publish("imu", stamp, dict(gyro=gyro, acc=acc, rpy=rpy))
+
+    def feed_lidar(self, stamp, scan):
+        self.bus.publish("lidar", stamp, scan)
+
+    def feed_image(self, stamp, image):
+        self.bus.publish("image", stamp, dict(image=image))
+
+    def run(self):
+        self.bus.run()

@@ -48,6 +48,8 @@ class BAConfig:
     damping: float = 1e-5
     estimate_td: bool = True
     estimate_extrinsic: bool = False
+    cauchy_c: float = 1.0  # CauchyLoss(1.0) on projection factors
+    # (`estimator.cpp:705` loss_function = new ceres::CauchyLoss(1.0))
 
     @property
     def d_state(self) -> int:
@@ -221,6 +223,14 @@ def imu_residuals(ws: WindowState, pints: pre.PreintState, frame_valid: jax.Arra
     return jnp.where(frame_valid[1:, None] & frame_valid[:-1, None], rs, 0.0)
 
 
+def robust_weights(r_proj: jax.Array, mask: jax.Array, c: float) -> jax.Array:
+    """IRLS weights for the Cauchy loss rho(s) = c^2 log(1 + s/c^2):
+    w = sqrt(rho'(s)) = 1/sqrt(1 + s/c^2), per observation (F, W+1)."""
+    s = jnp.sum(r_proj * r_proj, axis=-1)
+    w = jax.lax.rsqrt(1.0 + s / (c * c))
+    return jnp.where(mask, w, 1.0)
+
+
 def full_residual(
     delta: jax.Array,
     ws: WindowState,
@@ -232,6 +242,7 @@ def full_residual(
     gravity: jax.Array,
     td0: jax.Array,
     cfg: BAConfig,
+    proj_weights: jax.Array | None = None,
 ):
     d_state = delta[: cfg.d_state]
     d_depth = delta[cfg.d_state :]
@@ -245,6 +256,8 @@ def full_residual(
         ws2, inv_depth, table_obs, table_vel, table_obs_valid,
         table_start, feat_valid, td0, cfg,
     )
+    if proj_weights is not None:
+        r_proj = r_proj * proj_weights[..., None]
     return jnp.concatenate([r_prior, r_imu, r_proj.reshape(-1)])
 
 
@@ -270,21 +283,40 @@ def solve(
 
     D = cfg.d_total
 
+    def eval_cost(ws_, inv_):
+        r0_proj, pmask = projection_residuals(
+            ws_, inv_, table_obs, table_vel, table_obs_valid,
+            table_start, feat_valid, td0, cfg,
+        )
+        w = robust_weights(r0_proj, pmask, cfg.cauchy_c)
+        r = full_residual(
+            jnp.zeros(D, ws_.Ps.dtype), ws_, inv_, table_obs, table_vel,
+            table_obs_valid, table_start, feat_valid, lidar_flag, pints,
+            frame_valid, prior, gravity, td0, cfg, proj_weights=w,
+        )
+        return jnp.sum(r * r), w
+
     def it(carry, _):
-        ws, inv_depth = carry
+        """Adaptive Levenberg-Marquardt step (the Ceres DOGLEG-timeboxed
+        equivalent): reject cost-increasing steps, scale the damping."""
+        ws, inv_depth, lam, cost = carry
+
+        _, w_proj = eval_cost(ws, inv_depth)
 
         def res(d):
             return full_residual(
                 d, ws, inv_depth, table_obs, table_vel, table_obs_valid,
                 table_start, feat_valid, lidar_flag, pints, frame_valid,
-                prior, gravity, td0, cfg,
+                prior, gravity, td0, cfg, proj_weights=w_proj,
             )
 
         r = res(jnp.zeros(D, ws.Ps.dtype))
         J = jax.jacfwd(res)(jnp.zeros(D, ws.Ps.dtype))
-        # damped least squares via augmented QR:  [J; sqrt(l) I] d = [-r; 0]
-        lam = jnp.sqrt(jnp.asarray(cfg.damping, ws.Ps.dtype))
-        A = jnp.concatenate([J, lam * jnp.eye(D, dtype=ws.Ps.dtype)], axis=0)
+        # LM damping rows: sqrt(lam)*diag-scale per column, via augmented QR
+        col = jnp.linalg.norm(J, axis=0) + 1e-6
+        A = jnp.concatenate(
+            [J, jnp.sqrt(lam) * jnp.diag(col)], axis=0
+        )
         b = jnp.concatenate([-r, jnp.zeros(D, ws.Ps.dtype)])
         Q, R = jnp.linalg.qr(A)
         d = jax.scipy.linalg.solve_triangular(
@@ -292,12 +324,22 @@ def solve(
         )
         ws2 = _retract_window(ws, d[: cfg.d_state], cfg)
         inv2 = inv_depth + jnp.where(lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :])
-        return (ws2, inv2), jnp.sum(r * r)
+        new_cost, _ = eval_cost(ws2, inv2)
+        accept = new_cost < cost
+        ws_out = jax.tree.map(
+            lambda a, b_: jnp.where(accept, b_, a), ws, ws2
+        )
+        inv_out = jnp.where(accept, inv2, inv_depth)
+        lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
+        cost_out = jnp.where(accept, new_cost, cost)
+        return (ws_out, inv_out, lam_out, cost_out), cost_out
 
-    (ws, inv_depth), costs = jax.lax.scan(
-        it, (ws, inv_depth), None, length=cfg.iterations
+    cost0, _ = eval_cost(ws, inv_depth)
+    (ws, inv_depth, _, final_cost), _ = jax.lax.scan(
+        it, (ws, inv_depth, jnp.asarray(1e-4, ws.Ps.dtype), cost0), None,
+        length=cfg.iterations,
     )
-    return BAResult(ws=ws, inv_depth=inv_depth, final_cost=costs[-1])
+    return BAResult(ws=ws, inv_depth=inv_depth, final_cost=final_cost)
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +377,14 @@ def marginalize_old(
     D = cfg.d_total
     anchored = feat_valid & (table_start == 0)
 
+    # robust rescaling at the marginalization point (`marginalization_factor
+    # .cpp:38-69` applies the loss to each block before Schur)
+    r0_proj, pmask = projection_residuals(
+        ws, inv_depth, table_obs, table_vel, table_obs_valid,
+        table_start, anchored, td0, cfg,
+    )
+    w_proj = robust_weights(r0_proj, pmask, cfg.cauchy_c)
+
     def res(d):
         d_state = d[: cfg.d_state]
         d_depth = d[cfg.d_state :]
@@ -348,6 +398,7 @@ def marginalize_old(
             ws2, inv2, table_obs, table_vel, table_obs_valid,
             table_start, anchored, td0, cfg,
         )
+        r_proj = r_proj * w_proj[..., None]
         return jnp.concatenate([r_prior, r_imu, r_proj.reshape(-1)])
 
     z = jnp.zeros(D, ws.Ps.dtype)
