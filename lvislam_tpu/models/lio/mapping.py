@@ -84,6 +84,8 @@ class LioParams:
     historyKeyframeFitnessScore: float = 0.3
     edgeFeatureMinValidNum: int = 10
     surfFeatureMinValidNum: int = 100
+    gpsCovThreshold: float = 2.0
+    poseCovThreshold: float = 25.0
     # degeneracy eigenvalue threshold (`mapOptimization.cpp:1279` hardcodes
     # 100; exposed because its scale follows the residual count / sensor
     # resolution)
@@ -477,6 +479,48 @@ def map_step(
         num_residuals=n_res,
         gn_iters=gn_iters,
     )
+
+
+@partial(jax.jit, static_argnames=("caps", "params"))
+def add_gps_factor(
+    state: LioMapState,
+    gps_pos: jax.Array,  # (3,) GPS position in the map frame
+    gps_noise: jax.Array,  # (3,) position variances
+    use_elevation: bool,
+    caps: LioCaps,
+    params: LioParams,
+):
+    """`addGPSFactor` (`mapOptimization.cpp:1433-1507`): unary position
+    factor on the newest keyframe, gated by pose-covariance need, GPS noise
+    quality, and 5 m spacing (spacing/staleness gates live in the scheduler;
+    the covariance gate uses the pose-graph marginal proxy)."""
+    k = state.kf_count - 1
+    g = state.graph
+    noise = jnp.maximum(gps_noise, 1.0)  # (`:1496` floor at 1.0)
+    z = jnp.where(use_elevation, gps_pos[2], state.kf_trans[k, 2])
+    nz = jnp.where(use_elevation, noise[2], 0.01)
+    pos = jnp.concatenate([gps_pos[:2], z[None]])
+    sqrtw = 1.0 / jnp.sqrt(jnp.concatenate([noise[:2], nz[None]]))
+
+    ok = (state.kf_count > 0) & (
+        jnp.linalg.norm(state.kf_trans[0] - state.kf_trans[k])
+        >= 5.0
+    ) & (gps_noise[0] <= params.gpsCovThreshold) & (
+        gps_noise[1] <= params.gpsCovThreshold
+    )
+
+    slot = jnp.argmin(g.up_valid)  # first free unary slot
+
+    def add(state):
+        g2 = g._replace(
+            up_k=g.up_k.at[slot].set(k),
+            up_pos=g.up_pos.at[slot].set(pos),
+            up_sqrtw=g.up_sqrtw.at[slot].set(sqrtw),
+            up_valid=g.up_valid.at[slot].set(True),
+        )
+        return state._replace(graph=g2, loop_pending=jnp.array(True))
+
+    return jax.lax.cond(ok & (~g.up_valid[slot]), add, lambda s: s, state)
 
 
 # ---------------------------------------------------------------------------
