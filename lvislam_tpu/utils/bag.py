@@ -1,0 +1,248 @@
+"""Dataset readers: rosbag2 (sqlite3 + CDR) and EuRoC ASL.
+
+The reference consumes live DDS topics or `ros2 bag play` (docs/quick-start
+.md); this module reads the same recordings directly — no ROS installation:
+
+- `Rosbag2Reader`: opens a rosbag2 `.db3` (sqlite3 schema: topics +
+  messages), deserializes CDR for the message types the pipeline needs —
+  sensor_msgs/Imu, sensor_msgs/PointCloud2, sensor_msgs/Image, and
+  livox_ros_driver2/CustomMsg (`imageProjection.cpp:240-260` field layout).
+- `euroc_reader`: the ASL folder layout (cam0 PNGs + imu0 CSV) used by the
+  BASELINE configs 2 and 4 (EuRoC MH_01).
+
+Both yield (stamp_seconds, topic_kind, payload-dict) in time order — ready
+for `LviSystem.feed_*` / the bus.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+from typing import Iterator
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# CDR (XCDR1 little-endian) primitive reader
+# ---------------------------------------------------------------------------
+
+class Cdr:
+    """Minimal CDR deserializer: 4-byte encapsulation header, little-endian,
+    primitives aligned to their own size (relative to payload start)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 4  # skip encapsulation {0x00, 0x01, 0x00, 0x00}
+
+    def _align(self, n):
+        rem = (self.pos - 4) % n
+        if rem:
+            self.pos += n - rem
+
+    def u8(self):
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def _prim(self, fmt, size):
+        self._align(size)
+        v = struct.unpack_from("<" + fmt, self.buf, self.pos)[0]
+        self.pos += size
+        return v
+
+    def u16(self):
+        return self._prim("H", 2)
+
+    def u32(self):
+        return self._prim("I", 4)
+
+    def i32(self):
+        return self._prim("i", 4)
+
+    def u64(self):
+        return self._prim("Q", 8)
+
+    def f32(self):
+        return self._prim("f", 4)
+
+    def f64(self):
+        return self._prim("d", 8)
+
+    def string(self):
+        n = self.u32()
+        s = self.buf[self.pos : self.pos + n - 1].decode("utf-8", "replace") if n else ""
+        self.pos += n
+        return s
+
+    def bytes_seq(self):
+        n = self.u32()
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def f64_array(self, n):
+        self._align(8)
+        a = np.frombuffer(self.buf, dtype="<f8", count=n, offset=self.pos)
+        self.pos += 8 * n
+        return a
+
+    def header(self):
+        sec = self.i32()
+        nsec = self.u32()
+        frame = self.string()
+        return sec + nsec * 1e-9, frame
+
+
+def parse_imu(buf: bytes):
+    c = Cdr(buf)
+    stamp, _ = c.header()
+    quat = c.f64_array(4)  # x y z w
+    c.f64_array(9)
+    gyro = c.f64_array(3)
+    c.f64_array(9)
+    acc = c.f64_array(3)
+    c.f64_array(9)
+    return dict(stamp=stamp, quat_xyzw=quat, gyro=gyro, acc=acc)
+
+
+def parse_pointcloud2(buf: bytes):
+    c = Cdr(buf)
+    stamp, frame = c.header()
+    height = c.u32()
+    width = c.u32()
+    n_fields = c.u32()
+    fields = {}
+    for _ in range(n_fields):
+        name = c.string()
+        offset = c.u32()
+        datatype = c.u8()
+        count = c.u32()
+        fields[name] = (offset, datatype, count)
+    is_bigendian = c.u8()
+    point_step = c.u32()
+    row_step = c.u32()
+    data = c.bytes_seq()
+    c.u8()  # is_dense
+    return dict(stamp=stamp, frame=frame, height=height, width=width,
+                fields=fields, point_step=point_step, data=data)
+
+
+def parse_image(buf: bytes):
+    c = Cdr(buf)
+    stamp, frame = c.header()
+    height = c.u32()
+    width = c.u32()
+    encoding = c.string()
+    c.u8()  # is_bigendian
+    step = c.u32()
+    data = c.bytes_seq()
+    img = np.frombuffer(data, np.uint8)
+    if encoding in ("mono8", "8UC1"):
+        img = img.reshape(height, step)[:, :width]
+    elif encoding in ("bgr8", "rgb8"):
+        img = img.reshape(height, step)[:, : width * 3].reshape(height, width, 3)
+        img = img.mean(axis=2).astype(np.uint8)
+    return dict(stamp=stamp, image=img.astype(np.float32) / 255.0)
+
+
+def parse_livox_custommsg(buf: bytes):
+    """livox_ros_driver2/CustomMsg: header, timebase u64, point_num u32,
+    lidar_id u8, rsvd u8[3], points[]: {offset_time u32, x f32, y f32,
+    z f32, reflectivity u8, tag u8, line u8}."""
+    c = Cdr(buf)
+    stamp, _ = c.header()
+    timebase = c.u64()
+    n = c.u32()
+    c.u8()
+    for _ in range(3):
+        c.u8()
+    n_seq = c.u32()
+    xyz = np.zeros((n_seq, 3), np.float32)
+    t = np.zeros(n_seq, np.float32)
+    ring = np.zeros(n_seq, np.int32)
+    refl = np.zeros(n_seq, np.float32)
+    for i in range(n_seq):
+        off = c.u32()
+        x, y, z = c.f32(), c.f32(), c.f32()
+        r = c.u8()
+        c.u8()
+        ln = c.u8()
+        xyz[i] = (x, y, z)
+        t[i] = off * 1e-9
+        ring[i] = ln
+        refl[i] = r
+    return dict(stamp=stamp, xyz=xyz, time=t, ring=ring, intensity=refl)
+
+
+_PARSERS = {
+    "sensor_msgs/msg/Imu": ("imu", parse_imu),
+    "sensor_msgs/msg/PointCloud2": ("pointcloud", parse_pointcloud2),
+    "sensor_msgs/msg/Image": ("image", parse_image),
+    "livox_ros_driver2/msg/CustomMsg": ("livox", parse_livox_custommsg),
+    "livox_ros_driver/msg/CustomMsg": ("livox", parse_livox_custommsg),
+}
+
+
+class Rosbag2Reader:
+    """Iterate a rosbag2 sqlite3 file in timestamp order."""
+
+    def __init__(self, db_path: str, topics: list[str] | None = None):
+        self.conn = sqlite3.connect(db_path)
+        cur = self.conn.execute("SELECT id, name, type FROM topics")
+        self.topics = {tid: (name, typ) for tid, name, typ in cur.fetchall()}
+        self.filter = set(topics) if topics else None
+
+    def __iter__(self) -> Iterator[tuple]:
+        cur = self.conn.execute(
+            "SELECT topic_id, timestamp, data FROM messages ORDER BY timestamp"
+        )
+        for topic_id, ts, data in cur:
+            name, typ = self.topics[topic_id]
+            if self.filter and name not in self.filter:
+                continue
+            entry = _PARSERS.get(typ)
+            if entry is None:
+                continue
+            kind, fn = entry
+            yield ts * 1e-9, name, kind, fn(data)
+
+
+# ---------------------------------------------------------------------------
+# EuRoC ASL
+# ---------------------------------------------------------------------------
+
+def euroc_reader(root: str, max_items: int | None = None) -> Iterator[tuple]:
+    """Yield ('imu'|'image', stamp, payload) streams from a EuRoC mav0 dir
+    (BASELINE configs 2/4: MH_01)."""
+    try:
+        from PIL import Image as PILImage
+    except ImportError:  # pragma: no cover
+        PILImage = None
+    events = []
+    imu_csv = os.path.join(root, "imu0", "data.csv")
+    if os.path.exists(imu_csv):
+        raw = np.genfromtxt(imu_csv, delimiter=",", skip_header=1)
+        for row in raw:
+            events.append((row[0] * 1e-9, "imu",
+                           dict(gyro=row[1:4], acc=row[4:7])))
+    cam_csv = os.path.join(root, "cam0", "data.csv")
+    if os.path.exists(cam_csv):
+        with open(cam_csv) as f:
+            next(f)
+            for line in f:
+                ts, fname = line.strip().split(",")[:2]
+                events.append((float(ts) * 1e-9, "image_path",
+                               os.path.join(root, "cam0", "data", fname)))
+    events.sort(key=lambda e: e[0])
+    if max_items:
+        events = events[:max_items]
+    for t, kind, payload in events:
+        if kind == "image_path":
+            if PILImage is None:
+                continue
+            img = np.asarray(PILImage.open(payload).convert("L"), np.float32) / 255.0
+            yield t, kind.replace("_path", ""), "image", dict(image=img)
+        else:
+            yield t, "imu0", "imu", payload

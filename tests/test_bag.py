@@ -1,0 +1,126 @@
+"""Dataset reader tests: CDR round-trip against hand-encoded messages in a
+synthetic rosbag2 sqlite file, and EuRoC folder parsing."""
+
+import os
+import sqlite3
+import struct
+
+import numpy as np
+
+from lvislam_tpu.utils import bag
+
+
+def cdr_writer():
+    out = bytearray(b"\x00\x01\x00\x00")
+
+    def align(n):
+        rem = (len(out) - 4) % n
+        if rem:
+            out.extend(b"\x00" * (n - rem))
+
+    def u8(v): out.append(v)
+    def u16(v): align(2); out.extend(struct.pack("<H", v))
+    def u32(v): align(4); out.extend(struct.pack("<I", v))
+    def i32(v): align(4); out.extend(struct.pack("<i", v))
+    def u64(v): align(8); out.extend(struct.pack("<Q", v))
+    def f32(v): align(4); out.extend(struct.pack("<f", v))
+    def f64(v): align(8); out.extend(struct.pack("<d", v))
+    def string(s):
+        b = s.encode() + b"\x00"
+        u32(len(b))
+        out.extend(b)
+    def raw(b): out.extend(b)
+    return out, locals()
+
+
+def encode_imu(stamp, gyro, acc):
+    out, w = cdr_writer()
+    w["i32"](int(stamp))
+    w["u32"](int((stamp % 1) * 1e9))
+    w["string"]("imu")
+    for v in [0.0, 0.0, 0.0, 1.0]:
+        w["f64"](v)
+    for _ in range(9):
+        w["f64"](0.0)
+    for v in gyro:
+        w["f64"](v)
+    for _ in range(9):
+        w["f64"](0.0)
+    for v in acc:
+        w["f64"](v)
+    for _ in range(9):
+        w["f64"](0.0)
+    return bytes(out)
+
+
+def encode_livox(stamp, xyz, rings):
+    out, w = cdr_writer()
+    w["i32"](int(stamp))
+    w["u32"](int((stamp % 1) * 1e9))
+    w["string"]("livox_frame")
+    w["u64"](123456789)
+    w["u32"](len(xyz))
+    w["u8"](0)
+    for _ in range(3):
+        w["u8"](0)
+    w["u32"](len(xyz))
+    for i, p in enumerate(xyz):
+        w["u32"](i * 1000)
+        for v in p:
+            w["f32"](v)
+        w["u8"](100)
+        w["u8"](0)
+        w["u8"](int(rings[i]))
+    return bytes(out)
+
+
+def test_rosbag2_roundtrip(tmp_path):
+    db = str(tmp_path / "test.db3")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT, "
+                 "serialization_format TEXT, offered_qos_profiles TEXT)")
+    conn.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER, "
+                 "timestamp INTEGER, data BLOB)")
+    conn.execute("INSERT INTO topics VALUES (1, '/livox/imu', 'sensor_msgs/msg/Imu', 'cdr', '')")
+    conn.execute("INSERT INTO topics VALUES (2, '/livox/lidar', "
+                 "'livox_ros_driver2/msg/CustomMsg', 'cdr', '')")
+    gyro = [0.1, -0.2, 0.3]
+    acc = [0.5, 9.8, -0.1]
+    conn.execute("INSERT INTO messages VALUES (1, 1, 1000000000, ?)",
+                 (encode_imu(1.0, gyro, acc),))
+    xyz = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    conn.execute("INSERT INTO messages VALUES (2, 2, 1050000000, ?)",
+                 (encode_livox(1.05, xyz, [0, 2]),))
+    conn.commit()
+    conn.close()
+
+    msgs = list(bag.Rosbag2Reader(db))
+    assert len(msgs) == 2
+    t0, name0, kind0, m0 = msgs[0]
+    assert kind0 == "imu" and abs(t0 - 1.0) < 1e-9
+    np.testing.assert_allclose(m0["gyro"], gyro)
+    np.testing.assert_allclose(m0["acc"], acc)
+    t1, name1, kind1, m1 = msgs[1]
+    assert kind1 == "livox"
+    np.testing.assert_allclose(m1["xyz"], xyz)
+    np.testing.assert_array_equal(m1["ring"], [0, 2])
+    np.testing.assert_allclose(m1["time"], [0.0, 1e-6], atol=1e-12)
+
+
+def test_euroc_reader(tmp_path):
+    root = tmp_path / "mav0"
+    os.makedirs(root / "imu0")
+    os.makedirs(root / "cam0" / "data")
+    with open(root / "imu0" / "data.csv", "w") as f:
+        f.write("#ts,gx,gy,gz,ax,ay,az\n")
+        f.write("1000000000,0.1,0.2,0.3,1,2,9.8\n")
+        f.write("1005000000,0.1,0.2,0.3,1,2,9.8\n")
+    from PIL import Image
+    img = Image.fromarray((np.random.default_rng(0).random((24, 32)) * 255).astype(np.uint8))
+    img.save(root / "cam0" / "data" / "1002000000.png")
+    with open(root / "cam0" / "data.csv", "w") as f:
+        f.write("#ts,filename\n1002000000,1002000000.png\n")
+    msgs = list(bag.euroc_reader(str(root)))
+    kinds = [m[2] for m in msgs]
+    assert kinds == ["imu", "image", "imu"]
+    assert msgs[1][3]["image"].shape == (24, 32)
