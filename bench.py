@@ -51,12 +51,9 @@ def main():
         horizon=horizon,
         point_capacity=24576,
         caps=caps,
-        params=mapping.LioParams(
-            keyframeAddingDistThreshold=0.3,
-            keyframeAddingAngleThreshold=0.1,
-            livox_keyframe_interval=0.5,
-            degeneracyEigenThreshold=100.0,
-        ),
+        # reference defaults: surroundingkeyframeAddingDistThreshold 1.0 m,
+        # angle 0.2 rad, livox forced keyframe 1.0 s (`params_lidar.yaml`)
+        params=mapping.LioParams(),
         loop_every_n_scans=10,
     )
 

@@ -43,6 +43,7 @@ from ...ops import icp as icp_ops
 from ...ops import posegraph as pg
 from ...ops import pointcloud as pc
 from ...ops import scan2map
+from ...ops import voxel_hash as vh
 from .frontend import FeatureResult
 
 
@@ -62,6 +63,9 @@ class LioCaps:
     max_gps: int = 64
     loop_submap: int = 16384  # ICP target capacity
     icp_iters: int = 25
+    corner_hash_size: int = 1 << 14  # voxel-hash tables for the gated 5-NN
+    surf_hash_size: int = 1 << 16
+    hash_bucket: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +130,8 @@ class LioMapState(NamedTuple):
     map_corner_valid: jax.Array  # (Mc,)
     map_surf: jax.Array  # (Ms, 3)
     map_surf_valid: jax.Array  # (Ms,)
+    corner_hash: vh.VoxelHash  # gated-5NN index over map_corner
+    surf_hash: vh.VoxelHash
 
 
 class MapOutputs(NamedTuple):
@@ -165,6 +171,14 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         map_corner_valid=jnp.zeros(caps.map_corner, bool),
         map_surf=jnp.zeros((caps.map_surf, 3), dtype),
         map_surf_valid=jnp.zeros(caps.map_surf, bool),
+        corner_hash=vh.build(
+            jnp.zeros((caps.map_corner, 3), dtype), jnp.zeros(caps.map_corner, bool),
+            1.0, caps.corner_hash_size, caps.hash_bucket,
+        ),
+        surf_hash=vh.build(
+            jnp.zeros((caps.map_surf, 3), dtype), jnp.zeros(caps.map_surf, bool),
+            1.0, caps.surf_hash_size, caps.hash_bucket,
+        ),
     )
 
 
@@ -431,8 +445,9 @@ def map_step(
     have_map = state.kf_count > 0
 
     def run_gn(x6):
-        st = scan2map.scan_to_map(
-            x6, c_xyz, c_val, s_xyz, s_val, mc, mc_val, ms, ms_val,
+        st = scan2map.scan_to_map_hashed(
+            x6, c_xyz, c_val, s_xyz, s_val, mc, ms,
+            state.corner_hash, state.surf_hash,
             max_iters=max_gn_iters,
             eigen_thresh=params.degeneracyEigenThreshold,
         )
@@ -467,6 +482,8 @@ def map_step(
         return state._replace(
             map_corner=mc, map_corner_valid=mc_val,
             map_surf=ms, map_surf_valid=ms_val,
+            corner_hash=vh.build(mc, mc_val, 1.0, caps.corner_hash_size, caps.hash_bucket),
+            surf_hash=vh.build(ms, ms_val, 1.0, caps.surf_hash_size, caps.hash_bucket),
         )
 
     state = jax.lax.cond(is_kf, with_kf, lambda s: s, state)

@@ -46,22 +46,44 @@ class LioConfig:
     static_argnames=(
         "n_scan", "horizon", "min_range", "max_range", "edge_threshold",
         "surf_threshold", "surf_leaf", "caps", "params", "exact_selection",
+        "point_capacity", "imu_capacity",
     ),
 )
 def lio_full_step(
     state: mapping.LioMapState,
-    xyz, intensity, ring, rel_time, point_valid,
-    imu_rel_time, imu_gyro, imu_count, imu_rpy_init, imu_available,
-    stamp, odom_available, odom_trans, odom_quat, odom_reset_id,
-    do_loop,
+    packed,  # (P*7 + M*4 + 16,) f32 — ONE transfer per scan: the axon
+             # attachment pays ~5-8 ms latency per host->device copy, so all
+             # inputs ride one flat buffer and are unpacked on device.
     *,
     n_scan, horizon, min_range, max_range,
     edge_threshold, surf_threshold, surf_leaf,
     caps: mapping.LioCaps, params: mapping.LioParams,
+    point_capacity: int, imu_capacity: int,
     exact_selection: bool = False,
 ):
     """One fused LIS step: deskew/projection -> features -> mapping
     (-> loop closure when `do_loop`)."""
+    P, M = point_capacity, imu_capacity
+    pts = packed[: P * 7].reshape(P, 7)
+    imu = packed[P * 7 : P * 7 + M * 4].reshape(M, 4)
+    misc = packed[P * 7 + M * 4 :]
+    xyz = pts[:, 0:3]
+    intensity = pts[:, 3]
+    ring = pts[:, 4].astype(jnp.int32)
+    rel_time = pts[:, 5]
+    point_valid = pts[:, 6] > 0.5
+    imu_rel_time = imu[:, 0]
+    imu_gyro = imu[:, 1:4]
+    imu_count = misc[0].astype(jnp.int32)
+    imu_rpy_init = misc[1:4]
+    imu_available = misc[4] > 0.5
+    stamp = misc[5]
+    odom_available = misc[6] > 0.5
+    odom_trans = misc[7:10]
+    odom_quat = misc[10:14]
+    odom_reset_id = misc[14].astype(jnp.int32)
+    do_loop = misc[15] > 0.5
+
     proj = frontend.project_scan(
         xyz, intensity, ring, rel_time, point_valid,
         imu_rel_time, imu_gyro, imu_count, imu_rpy_init, imu_available,
@@ -117,6 +139,8 @@ class LioPipeline:
             surf_leaf=cfg.odometry_surf_leaf,
             caps=cfg.caps,
             params=cfg.params,
+            point_capacity=cfg.point_capacity,
+            imu_capacity=cfg.imu_capacity,
             exact_selection=cfg.exact_loam_selection,
         )
 
@@ -160,31 +184,40 @@ class LioPipeline:
         initial-guess odometry (trans, quat, reset_id). Fully async: returns
         device arrays without syncing."""
         cfg = self.cfg
-        xyz, inten, ring, rel, valid = self._pad_points(scan)
-        it, ig, icount = self._pad_imu(imu_rel_time, imu_gyro)
-
+        P, M = cfg.point_capacity, cfg.imu_capacity
         self.scan_counter += 1
         do_loop = (
             cfg.loop_closure_enabled
             and self.scan_counter % cfg.loop_every_n_scans == 0
         )
-        self.state, out = self._step(
-            self.state,
-            jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(ring),
-            jnp.asarray(rel), jnp.asarray(valid),
-            jnp.asarray(it), jnp.asarray(ig), jnp.int32(icount),
-            jnp.asarray(
-                imu_rpy_init if imu_rpy_init is not None else np.zeros(3, np.float32),
-                dtype=jnp.float32,
-            ),
-            jnp.asarray(imu_rpy_init is not None and icount > 1),
-            jnp.float32(scan["stamp"]),
-            jnp.asarray(odom is not None),
-            jnp.asarray(odom["trans"] if odom else np.zeros(3), dtype=jnp.float32),
-            jnp.asarray(odom["quat"] if odom else np.array([1.0, 0, 0, 0]), dtype=jnp.float32),
-            jnp.int32(odom["reset_id"] if odom else 0),
-            jnp.asarray(do_loop),
-        )
+        buf = np.zeros(P * 7 + M * 4 + 16, np.float32)
+        pts = buf[: P * 7].reshape(P, 7)
+        n = min(len(scan["xyz"]), P)
+        pts[:n, 0:3] = scan["xyz"][:n]
+        pts[:n, 3] = scan["intensity"][:n]
+        pts[:n, 4] = scan["ring"][:n]
+        pts[:n, 5] = scan["time"][:n]
+        pts[:n, 6] = 1.0
+        imu = buf[P * 7 : P * 7 + M * 4].reshape(M, 4)
+        icount = min(len(imu_rel_time), M)
+        imu[:icount, 0] = imu_rel_time[:icount]
+        imu[:icount, 1:4] = imu_gyro[:icount]
+        if 0 < icount < M:
+            imu[icount:, 0] = imu_rel_time[icount - 1]
+            imu[icount:, 1:4] = imu_gyro[icount - 1]
+        misc = buf[P * 7 + M * 4 :]
+        misc[0] = icount
+        misc[1:4] = imu_rpy_init if imu_rpy_init is not None else 0.0
+        misc[4] = float(imu_rpy_init is not None and icount > 1)
+        misc[5] = scan["stamp"]
+        misc[6] = float(odom is not None)
+        misc[7:10] = odom["trans"] if odom else 0.0
+        misc[10:14] = odom["quat"] if odom else (1.0, 0, 0, 0)
+        misc[14] = odom["reset_id"] if odom else 0
+        misc[15] = float(do_loop)
+        # fresh buffer per scan: CPU backends may alias host memory, so a
+        # reused buffer would corrupt in-flight async steps
+        self.state, out = self._step(self.state, jnp.asarray(buf))
         self.trajectory.append((scan["stamp"], out.x6))
         return out
 

@@ -104,8 +104,16 @@ def corner_coeffs(
     nn_idx: jax.Array,  # (N, 5)
     nn_sqdist: jax.Array,  # (N, 5)
 ) -> Coeffs:
-    """Point-to-line coefficients (`mapOptimization.cpp:1025-1096`)."""
-    nbrs = map_pts[nn_idx]  # (N, 5, 3)
+    """Point-to-line coefficients (`mapOptimization.cpp:1025-1096`).
+
+    Distances are recomputed exactly from the gathered neighbors (the kNN
+    may report approximate distances); nn_idx < 0 marks missing neighbors."""
+    has = nn_idx >= 0
+    nbrs = map_pts[jnp.maximum(nn_idx, 0)]  # (N, 5, 3)
+    d_exact = jnp.where(
+        has, jnp.sum((nbrs - pts_world[:, None, :]) ** 2, axis=-1), _BIG
+    )
+    nn_sqdist = jnp.sort(d_exact, axis=1)
     ok = pts_valid & (nn_sqdist[:, 4] < 1.0)
     center = jnp.mean(nbrs, axis=1)
     dev = nbrs - center[:, None, :]
@@ -143,9 +151,17 @@ def surf_coeffs(
     nn_idx: jax.Array,
     nn_sqdist: jax.Array,
 ) -> Coeffs:
-    """Point-to-plane coefficients (`mapOptimization.cpp:1098-1167`)."""
-    nbrs = map_pts[nn_idx]  # (N, 5, 3)
-    ok = pts_valid & (nn_sqdist[:, 4] < 1.0)
+    """Point-to-plane coefficients (`mapOptimization.cpp:1098-1167`).
+
+    Distances recomputed exactly from the gathered neighbors; nn_idx < 0
+    marks missing neighbors."""
+    has = nn_idx >= 0
+    nbrs = map_pts[jnp.maximum(nn_idx, 0)]  # (N, 5, 3)
+    d_exact = jnp.where(
+        has, jnp.sum((nbrs - pts_world[:, None, :]) ** 2, axis=-1), _BIG
+    )
+    nn_sqdist = jnp.sort(d_exact, axis=1)
+    ok = pts_valid & (nn_sqdist[:, 4] < 1.0) & jnp.all(has, axis=1)
     # plane: solve nbrs @ x = -1  (x = n/d), 3x3 normal equations
     AtA = jnp.einsum("nki,nkj->nij", nbrs, nbrs)
     Atb = -jnp.sum(nbrs, axis=1)
@@ -241,6 +257,64 @@ def gn_update(
     deltaT = jnp.sqrt(jnp.sum((dx[3:] * 100.0) ** 2))
     converged = enough & (deltaR < 0.05) & (deltaT < 0.05)
     return new_x, converged, proj, degen, n_res
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def scan_to_map_hashed(
+    x6_init: jax.Array,  # (6,) initial guess [r, p, y, tx, ty, tz]
+    corner_pts: jax.Array,  # (C, 3) scan edge features (lidar frame)
+    corner_valid: jax.Array,
+    surf_pts: jax.Array,  # (S, 3)
+    surf_valid: jax.Array,
+    map_corner: jax.Array,  # (Mc, 3) original map arrays (for coeff gathers)
+    map_surf: jax.Array,  # (Ms, 3)
+    corner_hash,  # ops.voxel_hash.VoxelHash over map_corner
+    surf_hash,  # ops.voxel_hash.VoxelHash over map_surf
+    max_iters: int = 20,
+    eigen_thresh: float = 100.0,
+) -> "GNState":
+    """`scan_to_map` with the voxel-hash gated 5-NN (`ops.voxel_hash`):
+    exact for every correspondence inside the 1 m acceptance gate, O(27·B)
+    candidates per query. The hash is built once per local-map rebuild
+    (keyframe rate); each GN iteration is pure gather + reduce."""
+    from . import voxel_hash as vh
+
+    def cond(st: GNState):
+        return (st.it < max_iters) & (~st.converged)
+
+    def body(st: GNState):
+        t = st.x6[3:6]
+        Rm = lie.ypr_to_matrix(
+            jnp.stack([st.x6[2], st.x6[1], st.x6[0]]) * (180.0 / jnp.pi)
+        )
+        cw = corner_pts @ Rm.T + t
+        sw = surf_pts @ Rm.T + t
+
+        ci, cd = vh.query(corner_hash, cw, 5)
+        si, sd = vh.query(surf_hash, sw, 5)
+        cc = corner_coeffs(cw, corner_valid, map_corner, ci, cd)
+        sc = surf_coeffs(sw, surf_pts, surf_valid, map_surf, si, sd)
+        coeffs = Coeffs(
+            normal=jnp.concatenate([cc.normal, sc.normal]),
+            offset=jnp.concatenate([cc.offset, sc.offset]),
+            valid=jnp.concatenate([cc.valid, sc.valid]),
+        )
+        pts = jnp.concatenate([corner_pts, surf_pts])
+        new_x, conv, proj, degen, n_res = gn_update(
+            st.x6, pts, coeffs, st.it == 0, st.proj, st.degenerate,
+            eigen_thresh=eigen_thresh,
+        )
+        return GNState(
+            x6=new_x, it=st.it + 1, converged=conv, degenerate=degen,
+            proj=proj, num_residuals=n_res,
+        )
+
+    init = GNState(
+        x6=x6_init, it=jnp.int32(0), converged=jnp.array(False),
+        degenerate=jnp.array(False), proj=jnp.eye(6, dtype=x6_init.dtype),
+        num_residuals=jnp.int32(0),
+    )
+    return jax.lax.while_loop(cond, body, init)
 
 
 @partial(jax.jit, static_argnames=("max_iters", "map_chunk"))

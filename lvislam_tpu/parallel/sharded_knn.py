@@ -16,7 +16,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..ops.scan2map import knn as local_knn
 
@@ -44,12 +47,20 @@ def sharded_knn(mesh: Mesh, k: int = 5, chunk: int = 4096):
             nd, sel = jax.lax.top_k(-cat_d, k)
             return jnp.take_along_axis(cat_i, sel, axis=1), -nd
 
+        import inspect
+
+        kwargs = {}
+        params = inspect.signature(shard_map).parameters
+        if "check_rep" in params:
+            kwargs["check_rep"] = False
+        elif "check_vma" in params:
+            kwargs["check_vma"] = False
         return shard_map(
             local,
             mesh=mesh,
             in_specs=(P(), P(), P("map"), P("map")),
             out_specs=(P(), P()),
-            check_rep=False,
+            **kwargs,
         )(query, query_valid, map_pts, map_valid)
 
     return fn
