@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ...core import lie
 from ...ops import ba, preintegration as pre
 from . import feature_manager as fm
+from . import initializer as vinit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +52,10 @@ class VioParams:
     max_v_norm: float = 30.0
     jump_t: float = 5.0
     jump_z: float = 1.0
+    # enable the visual-SfM bootstrap fallback (`initialStructure` path B) —
+    # static flag: tracing the SfM costs compile time, so lidar-only rigs
+    # can turn it off
+    use_visual_init: bool = True
 
 
 class VioState(NamedTuple):
@@ -249,8 +254,43 @@ def process_image(
                 ws=ws, pints=pints, table=table, initialized=jnp.array(True)
             )
 
+        def try_visual(state):
+            """Path B fallback: visual SfM + IMU alignment
+            (`initialStructure` `estimator.cpp:273-413`)."""
+            if not params.use_visual_init:
+                return state
+
+            def do_vis(state):
+                noise = pre.ImuNoise.create(
+                    params.acc_n, params.gyr_n, params.acc_w, params.gyr_w
+                )
+                Ps, Qs, Vs, Bgs, pints2, ok = vinit.visual_initialize(
+                    state.table, state.pints, state.imu_bufs,
+                    state.ws.tic, state.ws.qic, W, params.g_norm, noise,
+                )
+
+                def accept(state):
+                    ws = state.ws._replace(
+                        Ps=Ps, Qs=Qs, Vs=Vs, Bgs=Bgs,
+                        Bas=jnp.zeros_like(state.ws.Bas),
+                    )
+                    table = fm.triangulate_all(
+                        state.table._replace(inv_depth=jnp.where(
+                            state.table.lidar_flag, state.table.inv_depth, -1.0
+                        )),
+                        ws.Ps, ws.Qs, ws.tic, ws.qic, caps,
+                    )
+                    return state._replace(
+                        ws=ws, pints=pints2, table=table,
+                        initialized=jnp.array(True),
+                    )
+
+                return jax.lax.cond(ok, accept, lambda s: s, state)
+
+            return jax.lax.cond(window_full, do_vis, lambda s: s, state)
+
         return jax.lax.cond(
-            lidar_odom["available"] & window_full, do_init, lambda s: s, state
+            lidar_odom["available"] & window_full, do_init, try_visual, state
         )
 
     state = jax.lax.cond(state.initialized, lambda s: s, try_initialize, state)

@@ -241,6 +241,68 @@ def linear_alignment(
     return x, s, g, ok
 
 
+def visual_initialize(
+    table: fm.FeatureTable,
+    pints: pre.PreintState,
+    imu_bufs: tuple,  # (dts (W,M), accs, gyrs) raw buffers for repropagation
+    tic: jax.Array,
+    qic: jax.Array,
+    window: int,
+    g_norm: float,
+    noise: pre.ImuNoise,
+):
+    """The full visual bootstrap (`initialStructure` path B +
+    `visualInitialAlign`, `estimator.cpp:273-491`): SfM -> gyro bias ->
+    repropagate -> linear alignment -> gravity refinement -> rotate/scale
+    the window into the gravity-aligned (yaw-zeroed) world.
+
+    Returns (Ps, Qs, Vs, Bgs, pints, ok): body states for frames 0..W with
+    frame-0 position at the origin."""
+    W = window
+    sfm = global_sfm(table, W)
+
+    # camera poses in the SfM (frame-l) world: x_c = R x_w + t
+    Rwc = jax.vmap(lambda q: lie.quat_to_matrix(q).T)(sfm.Qs)  # cam->world
+    q_wc = jax.vmap(lie.matrix_to_quat)(Rwc)
+    p_c = -jnp.einsum("kij,kj->ki", Rwc, sfm.Ts)  # camera centers
+
+    # body orientations and gyro bias
+    bg = solve_gyro_bias(q_wc, pints, qic, W)
+
+    d, a, g_ = imu_bufs
+
+    def reprop(k):
+        fresh = pre.preint_init(a[k, 0], g_[k, 0], jnp.zeros(3, bg.dtype), bg)
+        return pre.preintegrate(fresh, d[k], a[k], g_[k], noise)
+
+    pints2 = jax.vmap(reprop)(jnp.arange(W))
+
+    q_wb = jax.vmap(lambda q: lie.quat_multiply(q, lie.quat_conjugate(qic)))(q_wc)
+    x, s, g0, lin_ok = linear_alignment(p_c, q_wb, pints2, tic, W, g_norm)
+    g_ref, x2, s2 = refine_gravity(p_c, q_wb, pints2, tic, W, g_norm, g0)
+
+    # rotate the SfM world so the estimated gravity-direction G maps to +z
+    # with zero yaw (`visualInitialAlign`, `estimator.cpp:416-491`)
+    R0 = lie.g2R(g_ref)
+    q0 = lie.matrix_to_quat(R0)
+
+    # body positions: p_b = s·p_cam - R_wb·tic, then shift frame 0 to origin
+    Rb = jax.vmap(lie.quat_to_matrix)(q_wb)
+    p_b = s2 * p_c - jnp.einsum("kij,j->ki", Rb, tic)
+    p_b = p_b - p_b[0:1]
+    # velocities: x2 layout [v_0..v_W (body-frame), dg(2), s]
+    v_body = x2[: (W + 1) * 3].reshape(W + 1, 3)
+    v_w = jnp.einsum("kij,kj->ki", Rb, v_body)
+
+    Ps = jnp.einsum("ij,kj->ki", R0, p_b)
+    Vs = jnp.einsum("ij,kj->ki", R0, v_w)
+    Qs = jax.vmap(lambda q: lie.quat_normalize(lie.quat_multiply(q0, q)))(q_wb)
+    Bgs = jnp.tile(bg[None], (W + 1, 1))
+
+    ok = sfm.ok & lin_ok & (s2 > 0.01)
+    return Ps, Qs, Vs, Bgs, pints2, ok
+
+
 def refine_gravity(
     Ps_cam, Qs_body, pints, tic, window: int, g_norm: float, g0: jax.Array,
     iters: int = 4,
