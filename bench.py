@@ -53,7 +53,7 @@ def main():
         caps=caps,
         # reference defaults: surroundingkeyframeAddingDistThreshold 1.0 m,
         # angle 0.2 rad, livox forced keyframe 1.0 s (`params_lidar.yaml`)
-        params=mapping.LioParams(),
+        params=mapping.LioParams(nnRefreshEvery=2),
         loop_every_n_scans=10,
     )
 
@@ -90,6 +90,13 @@ def main():
     np.asarray(pipe.state.x6)
     dt = time.perf_counter() - t0
     n_timed = len(scans) - n_warm
+
+    # accuracy of the full replay (SE(3)-aligned ATE vs simulator truth)
+    from lvislam_tpu.utils.metrics import ate_rmse
+
+    est_pos = pipe.trajectory_array()[:, 3:6]
+    gt_pos = np.stack([s[0]["true_pos"] for s in scans])
+    ate = ate_rmse(est_pos, gt_pos, align=True)
     per_scan = dt / n_timed
     rtf = (1.0 / rate) / per_scan
 
@@ -99,6 +106,7 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
         "per_scan_ms": round(per_scan * 1e3, 2),
+        "ate_rmse_m": round(float(ate), 4),
         "scans": n_timed,
         "backend": jax.default_backend(),
     }))

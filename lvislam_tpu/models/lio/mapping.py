@@ -94,6 +94,8 @@ class LioParams:
     # 100; exposed because its scale follows the residual count / sensor
     # resolution)
     degeneracyEigenThreshold: float = 100.0
+    # correspondence re-search interval inside the GN loop (1 = reference)
+    nnRefreshEvery: int = 1
 
 
 class LioMapState(NamedTuple):
@@ -450,6 +452,7 @@ def map_step(
             state.corner_hash, state.surf_hash,
             max_iters=max_gn_iters,
             eigen_thresh=params.degeneracyEigenThreshold,
+            nn_refresh_every=params.nnRefreshEvery,
         )
         return st.x6, st.degenerate, st.num_residuals, st.it
 

@@ -259,7 +259,7 @@ def gn_update(
     return new_x, converged, proj, degen, n_res
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "nn_refresh_every"))
 def scan_to_map_hashed(
     x6_init: jax.Array,  # (6,) initial guess [r, p, y, tx, ty, tz]
     corner_pts: jax.Array,  # (C, 3) scan edge features (lidar frame)
@@ -272,17 +272,29 @@ def scan_to_map_hashed(
     surf_hash,  # ops.voxel_hash.VoxelHash over map_surf
     max_iters: int = 20,
     eigen_thresh: float = 100.0,
+    nn_refresh_every: int = 1,
 ) -> "GNState":
     """`scan_to_map` with the voxel-hash gated 5-NN (`ops.voxel_hash`):
     exact for every correspondence inside the 1 m acceptance gate, O(27·B)
     candidates per query. The hash is built once per local-map rebuild
-    (keyframe rate); each GN iteration is pure gather + reduce."""
+    (keyframe rate); each GN iteration is pure gather + reduce.
+
+    `nn_refresh_every`: re-search correspondences every n-th iteration
+    (1 == the reference's per-iteration `cornerOptimization` /
+    `surfOptimization` search; 2 halves the dominant query cost — the
+    inter-iteration pose deltas are mm-scale after the first step, and the
+    exact-distance recompute in the coeff stage still gates stale pairs)."""
     from . import voxel_hash as vh
 
-    def cond(st: GNState):
+    C = corner_pts.shape[0]
+    S = surf_pts.shape[0]
+
+    def cond(carry):
+        st = carry[0]
         return (st.it < max_iters) & (~st.converged)
 
-    def body(st: GNState):
+    def body(carry):
+        st, ci, cd, si, sd = carry
         t = st.x6[3:6]
         Rm = lie.ypr_to_matrix(
             jnp.stack([st.x6[2], st.x6[1], st.x6[0]]) * (180.0 / jnp.pi)
@@ -290,8 +302,15 @@ def scan_to_map_hashed(
         cw = corner_pts @ Rm.T + t
         sw = surf_pts @ Rm.T + t
 
-        ci, cd = vh.query(corner_hash, cw, 5)
-        si, sd = vh.query(surf_hash, sw, 5)
+        def refresh(_):
+            ci2, cd2 = vh.query(corner_hash, cw, 5)
+            si2, sd2 = vh.query(surf_hash, sw, 5)
+            return ci2, cd2, si2, sd2
+
+        do = (st.it % nn_refresh_every) == 0
+        ci, cd, si, sd = jax.lax.cond(
+            do, refresh, lambda _: (ci, cd, si, sd), None
+        )
         cc = corner_coeffs(cw, corner_valid, map_corner, ci, cd)
         sc = surf_coeffs(sw, surf_pts, surf_valid, map_surf, si, sd)
         coeffs = Coeffs(
@@ -304,17 +323,22 @@ def scan_to_map_hashed(
             st.x6, pts, coeffs, st.it == 0, st.proj, st.degenerate,
             eigen_thresh=eigen_thresh,
         )
-        return GNState(
-            x6=new_x, it=st.it + 1, converged=conv, degenerate=degen,
-            proj=proj, num_residuals=n_res,
+        return (
+            GNState(x6=new_x, it=st.it + 1, converged=conv, degenerate=degen,
+                    proj=proj, num_residuals=n_res),
+            ci, cd, si, sd,
         )
 
-    init = GNState(
-        x6=x6_init, it=jnp.int32(0), converged=jnp.array(False),
-        degenerate=jnp.array(False), proj=jnp.eye(6, dtype=x6_init.dtype),
-        num_residuals=jnp.int32(0),
+    init = (
+        GNState(
+            x6=x6_init, it=jnp.int32(0), converged=jnp.array(False),
+            degenerate=jnp.array(False), proj=jnp.eye(6, dtype=x6_init.dtype),
+            num_residuals=jnp.int32(0),
+        ),
+        jnp.full((C, 5), -1, jnp.int32), jnp.full((C, 5), _BIG),
+        jnp.full((S, 5), -1, jnp.int32), jnp.full((S, 5), _BIG),
     )
-    return jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)[0]
 
 
 @partial(jax.jit, static_argnames=("max_iters", "map_chunk"))
