@@ -144,33 +144,6 @@ class LioPipeline:
             exact_selection=cfg.exact_loam_selection,
         )
 
-    def _pad_points(self, scan):
-        P = self.cfg.point_capacity
-        n = min(len(scan["xyz"]), P)
-        xyz = np.zeros((P, 3), np.float32)
-        xyz[:n] = scan["xyz"][:n]
-        inten = np.zeros(P, np.float32)
-        inten[:n] = scan["intensity"][:n]
-        ring = np.zeros(P, np.int32)
-        ring[:n] = scan["ring"][:n]
-        rel = np.zeros(P, np.float32)
-        rel[:n] = scan["time"][:n]
-        valid = np.zeros(P, bool)
-        valid[:n] = True
-        return xyz, inten, ring, rel, valid
-
-    def _pad_imu(self, imu_t, imu_gyro):
-        M = self.cfg.imu_capacity
-        n = min(len(imu_t), M)
-        t = np.zeros(M, np.float32)
-        g = np.zeros((M, 3), np.float32)
-        t[:n] = imu_t[:n]
-        g[:n] = imu_gyro[:n]
-        if 0 < n < M:
-            t[n:] = imu_t[n - 1]
-            g[n:] = imu_gyro[n - 1]
-        return t, g, n
-
     def process_scan(
         self,
         scan: dict,

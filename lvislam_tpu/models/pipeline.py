@@ -32,6 +32,7 @@ from ..core import lie
 from ..core.config import CameraIntrinsics
 from ..ops import ba, pointcloud as pc
 from ..utils.bus import Bus
+from ..utils.metrics import MetricsLogger, StageTimer
 from .lio import mapping
 from .lio.pipeline import LioConfig, LioPipeline
 from .lio import imu_fusion as fus
@@ -61,6 +62,7 @@ class LviConfig:
     # camera-IMU extrinsic
     tic: tuple = (0.0, 0.0, 0.0)
     qic: tuple = (1.0, 0.0, 0.0, 0.0)  # wxyz
+    metrics_path: str | None = None  # JSONL per-stage metrics (SURVEY.md §5)
 
 
 class LviSystem:
@@ -102,12 +104,17 @@ class LviSystem:
         self.vio_frames = 0
         self.frame_times: list[float] = []  # VIO window frame stamps
 
+        self.metrics = MetricsLogger(cfg.metrics_path)
         self.bus.subscribe("imu", self._on_imu)
-        self.bus.subscribe("lidar", self._on_lidar)
-        self.bus.subscribe("image", self._on_image)
+        self.bus.subscribe("lidar", lambda t, m: self._timed("lidar", self._on_lidar, t, m))
+        self.bus.subscribe("image", lambda t, m: self._timed("image", self._on_image, t, m))
         # note: QoS depths (`utility.h:414-470`) only apply in streaming use
         # (feed + run interleaved); a pre-enqueued batch replay must keep
         # every message, so no depth limits are set here.
+
+    def _timed(self, stage, fn, stamp, msg):
+        with StageTimer(self.metrics, stage, stamp=stamp):
+            fn(stamp, msg)
 
     # ------------------------------------------------------------------ IMU
     def _on_imu(self, stamp, msg):
