@@ -96,6 +96,10 @@ class LioParams:
     degeneracyEigenThreshold: float = 100.0
     # correspondence re-search interval inside the GN loop (1 = reference)
     nnRefreshEvery: int = 1
+    # apply the previous scan-match delta as a constant-velocity position
+    # guess when no VINS odometry is available (LIO-SAM standalone feeds its
+    # IMU-preintegrated odometry here; rotation still comes from the IMU)
+    constantVelocityGuess: bool = True
 
 
 class LioMapState(NamedTuple):
@@ -125,6 +129,9 @@ class LioMapState(NamedTuple):
     # incremental odometry chain (`publishOdometry` statics)
     incr_x6: jax.Array  # (6,) incremental odometry pose
     degenerate: jax.Array  # () bool
+    # previous scan-match delta (constant-velocity guess)
+    last_delta_t: jax.Array  # (3,)
+    last_delta_q: jax.Array  # (4,)
     # cached assembled local map (the reference's laserCloudMapContainer +
     # *FromMapDS, rebuilt on keyframe insertion / loop correction instead of
     # per scan — identical content, since the keyframe set only changes then)
@@ -169,6 +176,8 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         vins_reset_id=jnp.int32(0),
         incr_x6=jnp.zeros(6, dtype),
         degenerate=jnp.array(False),
+        last_delta_t=jnp.zeros(3, dtype),
+        last_delta_q=lie.quat_identity(dtype),
         map_corner=jnp.zeros((caps.map_corner, 3), dtype),
         map_corner_valid=jnp.zeros(caps.map_corner, bool),
         map_surf=jnp.zeros((caps.map_surf, 3), dtype),
@@ -234,8 +243,13 @@ def _update_initial_guess(state: LioMapState, scan, params: LioParams):
                 )
                 q_now = lie.rpy_to_quat(imu_rpy[0], imu_rpy[1], imu_rpy[2])
                 qi = lie.quat_multiply(lie.quat_conjugate(q_last), q_now)
+                # constant-velocity translation guess from the previous
+                # scan-match delta (rotation from the IMU increment)
+                ti = jnp.where(
+                    params.constantVelocityGuess, state.last_delta_t, 0.0
+                )
                 t0, q0 = _x6_to_tq(state.x6)
-                tn, qn = lie.se3_compose(t0, q0, jnp.zeros(3), qi)
+                tn, qn = lie.se3_compose(t0, q0, ti, qi)
                 return _tq_to_x6(tn, qn)
 
             x6 = jax.lax.cond(imu_ok & state.last_imu_valid, have_imu, lambda _: state.x6, None)
@@ -474,7 +488,9 @@ def map_step(
     tp, qp = _x6_to_tq(state.incr_x6)
     tn, qn = lie.se3_compose(tp, qp, ti, qi)
     incr_x6 = jnp.where(state.kf_count == 0, x6_new, _tq_to_x6(tn, qn))
-    state = state._replace(incr_x6=incr_x6)
+    state = state._replace(
+        incr_x6=incr_x6, last_delta_t=ti, last_delta_q=qi
+    )
 
     is_kf = _is_keyframe(state, params, scan["stamp"], is_livox)
 
