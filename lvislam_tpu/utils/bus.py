@@ -12,7 +12,9 @@ SURVEY.md §5 "race detection: structurally impossible").
   registers a handler; `Scheduler.run()` drains events in (stamp, seq)
   order — seq breaks ties deterministically in publish order.
 - bounded depths reproduce the reference's QoS drop behavior when a
-  consumer lags (depth-1 best-effort clouds etc.).
+  consumer lags (depth-1 best-effort clouds etc.);
+- `set_dropout(topic, p, seed)` injects seeded sensor dropout for failure/
+  recovery testing (SURVEY.md §5: the reference has no fault injection).
 """
 
 from __future__ import annotations
@@ -43,6 +45,14 @@ class Bus:
         self._depth: dict[str, int] = {}
         self._pending_per_topic: dict[str, deque] = defaultdict(deque)
         self.latest: dict[str, Any] = {}  # TF-style last-value store
+        self._dropout: dict[str, Any] = {}  # topic -> (prob, rng)
+
+    def set_dropout(self, topic: str, prob: float, seed: int = 0):
+        """Deterministic fault injection: drop each message on `topic` with
+        probability `prob` (seeded — replays stay bit-identical)."""
+        import numpy as _np
+
+        self._dropout[topic] = (prob, _np.random.default_rng(seed))
 
     def set_depth(self, topic: str, depth: int):
         """QoS depth (`utility.h:414-470`): older undelivered messages on
@@ -53,6 +63,9 @@ class Bus:
         self._subs[topic].append(fn)
 
     def publish(self, topic: str, stamp: float, msg: Any):
+        drop = self._dropout.get(topic)
+        if drop is not None and drop[1].random() < drop[0]:
+            return
         ev = Event(stamp, next(self._seq), topic, msg)
         heapq.heappush(self._queue, ev)
         pend = self._pending_per_topic[topic]
