@@ -66,6 +66,10 @@ class LioCaps:
     corner_hash_size: int = 1 << 14  # voxel-hash tables for the gated 5-NN
     surf_hash_size: int = 1 << 16
     hash_bucket: int = 32
+    # surf buckets can be shallower: the 0.4 m surf leaf caps a 1 m cell at
+    # ~16 voxel centers, and the (Q,27,B,4) candidate gather is the hot
+    # HBM-bound op in scan-to-map — halving B halves it for surf queries.
+    surf_hash_bucket: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,7 +192,7 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         ),
         surf_hash=vh.build(
             jnp.zeros((caps.map_surf, 3), dtype), jnp.zeros(caps.map_surf, bool),
-            1.0, caps.surf_hash_size, caps.hash_bucket,
+            1.0, caps.surf_hash_size, caps.surf_hash_bucket,
         ),
     )
 
@@ -502,7 +506,8 @@ def map_step(
             map_corner=mc, map_corner_valid=mc_val,
             map_surf=ms, map_surf_valid=ms_val,
             corner_hash=vh.build(mc, mc_val, 1.0, caps.corner_hash_size, caps.hash_bucket),
-            surf_hash=vh.build(ms, ms_val, 1.0, caps.surf_hash_size, caps.hash_bucket),
+            surf_hash=vh.build(ms, ms_val, 1.0, caps.surf_hash_size,
+                               caps.surf_hash_bucket),
         )
 
     state = jax.lax.cond(is_kf, with_kf, lambda s: s, state)

@@ -28,7 +28,7 @@ SMALL_CAPS = mapping.LioCaps(
 )
 
 
-def run_lio(duration=6.0, rate=10.0, seed=0):
+def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1):
     world = syn.default_world(seed=seed)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     cfg = LioConfig(
@@ -44,6 +44,7 @@ def run_lio(duration=6.0, rate=10.0, seed=0):
             degeneracyEigenThreshold=25.0,
         ),
         loop_every_n_scans=20,
+        upload_batch=upload_batch,
     )
     pipe = LioPipeline(cfg)
     imu_rate = 200.0
@@ -89,6 +90,16 @@ def test_lio_tracks_trajectory(lio_run):
     rmse = ate_rmse(est_pos, gt_pos, align=True)
     assert rmse < 0.12, f"ATE RMSE {rmse:.3f} m"
     assert int(pipe.state.kf_count) > 3
+
+
+def test_lio_batched_upload_equivalence():
+    """`upload_batch>1` (one transfer per K scans, rows indexed on device)
+    must be bit-identical to per-scan uploads."""
+    pipe1, _, _ = run_lio(duration=1.5)
+    pipe2, _, _ = run_lio(duration=1.5, upload_batch=4)
+    np.testing.assert_array_equal(
+        pipe1.trajectory_array(), pipe2.trajectory_array()
+    )
 
 
 def test_lio_determinism():
