@@ -318,5 +318,7 @@ class LioPipeline:
         return np.stack(out)
 
     def pose_matrix(self, x6=None):
+        if x6 is None:
+            self.flush()  # staged scans must land before reading the pose
         x6 = self.state.x6 if x6 is None else jnp.asarray(x6)
         return np.asarray(lie.pose6_to_matrix(x6))
