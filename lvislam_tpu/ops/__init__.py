@@ -1,5 +1,5 @@
 from . import (  # noqa: F401
-    ba, brief, calibration, camera, depth_assoc, gftt, icp, image, klt,
+    ba, brief, calibration, camera, chessboard, depth_assoc, gftt, icp, image, klt,
     loam, pointcloud, posegraph, preintegration, ransac, scan2map, smallmat,
     triangulate, voxel_hash,
 )
