@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Replay a rosbag2 (sqlite3) recording through the full LVI system — the
+equivalent of the reference's `ros2 launch lvi_sam run.launch` + `ros2 bag
+play` (SURVEY.md §3 entry point).
+
+Usage:
+  python scripts/run_rosbag_lvi.py BAG.db3 \\
+      [--lidar-yaml params_lidar.yaml] [--camera-yaml params_camera.yaml] \\
+      [--imu-topic /livox/imu] [--lidar-topic /livox/lidar] \\
+      [--image-topic /camera/image] [--max-seconds 60] [--save-map DIR] \\
+      [--out trajectory.tum]
+
+Topic defaults follow the reference's handheld Livox MID360 configuration
+(`config_pkg/config/params_lidar.yaml`). IMU orientation RPY is derived by
+gravity alignment when the bag's IMU messages carry no orientation.
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def pc2_to_scan(msg):
+    """sensor_msgs/PointCloud2 payload -> LioPipeline scan dict (assumes the
+    common x,y,z,intensity[,ring|line][,time|timestamp|t] float layout)."""
+    data = np.frombuffer(msg["data"], np.uint8)
+    n = len(data) // msg["point_step"]
+    rec = data[: n * msg["point_step"]].reshape(n, msg["point_step"])
+
+    def field(name, dtype, default=None):
+        if name not in msg["fields"]:
+            return default
+        off = msg["fields"][name][0]
+        w = np.dtype(dtype).itemsize
+        return rec[:, off : off + w].copy().view(dtype).ravel()
+
+    xyz = np.stack([field(k, np.float32) for k in "xyz"], -1)
+    inten = field("intensity", np.float32, np.zeros(n, np.float32))
+    ring = field("ring", np.uint16, None)
+    if ring is None:
+        ring = field("line", np.uint8, np.zeros(n, np.uint8))
+    t = field("time", np.float32, None)
+    if t is None:
+        t = field("t", np.uint32, None)
+        t = t.astype(np.float32) * 1e-9 if t is not None else np.zeros(n, np.float32)
+    return dict(xyz=xyz, intensity=inten.astype(np.float32),
+                ring=ring.astype(np.int32), time=t.astype(np.float32))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bag")
+    ap.add_argument("--lidar-yaml")
+    ap.add_argument("--camera-yaml")
+    ap.add_argument("--imu-topic", default="/livox/imu")
+    ap.add_argument("--lidar-topic", default="/livox/lidar")
+    ap.add_argument("--image-topic", default="/camera/image")
+    ap.add_argument("--max-seconds", type=float, default=1e18)
+    ap.add_argument("--save-map")
+    ap.add_argument("--out", default="lvi_trajectory.tum")
+    ap.add_argument("--no-camera", action="store_true",
+                    help="LIO-only replay (BASELINE config 3)")
+    args = ap.parse_args()
+
+    from lvislam_tpu.core.config import load_yaml
+    from lvislam_tpu.models.pipeline import LviConfig, LviSystem
+    from lvislam_tpu.models.lio.pipeline import LioConfig
+    from lvislam_tpu.utils.bag import Rosbag2Reader
+
+    syscfg = load_yaml(args.lidar_yaml, args.camera_yaml)
+    lid = syscfg.lidar
+    cfg = LviConfig(
+        lio=LioConfig(n_scan=lid.N_SCAN, horizon=lid.Horizon_SCAN,
+                      point_capacity=1 << int(np.ceil(np.log2(
+                          max(lid.N_SCAN * lid.Horizon_SCAN, 1024))))),
+        camera=syscfg.vins.camera,
+        image_height=syscfg.vins.camera.image_height,
+        image_width=syscfg.vins.camera.image_width,
+        use_loop_detector=not args.no_camera,
+    )
+    sys_ = LviSystem(cfg)
+
+    topics = {args.imu_topic, args.lidar_topic}
+    if not args.no_camera:
+        topics.add(args.image_topic)
+    t0 = None
+    n_msgs = 0
+    # gravity-aligned RPY from the accelerometer when the IMU carries no
+    # orientation (the reference requires orientation; MID360 bags lack it)
+    for t, topic, kind, msg in Rosbag2Reader(args.bag, topics=list(topics)):
+        if t0 is None:
+            t0 = t
+        if t - t0 > args.max_seconds:
+            break
+        n_msgs += 1
+        if kind == "imu":
+            rpy = msg.get("rpy")
+            if rpy is None:
+                a = msg["acc"]
+                g = a / max(np.linalg.norm(a), 1e-6)
+                rpy = np.array([np.arctan2(g[1], g[2]),
+                                -np.arcsin(np.clip(g[0], -1, 1)), 0.0],
+                               np.float32)
+            sys_.feed_imu(t - t0, msg["gyro"], msg["acc"], rpy=rpy)
+        elif kind == "livox":
+            sys_.feed_lidar(t - t0, msg)
+        elif kind == "pointcloud":
+            sys_.feed_lidar(t - t0, pc2_to_scan(msg))
+        elif kind == "image":
+            sys_.feed_image(t - t0, msg["image"])
+
+    print(f"replaying {n_msgs} messages ...")
+    w0 = time.time()
+    sys_.run()
+    wall = time.time() - w0
+    dur = (sys_.trajectory[-1][0] - sys_.trajectory[0][0]) if sys_.trajectory else 0
+    print(f"bag span {dur:.1f}s processed in {wall:.1f}s "
+          f"({dur / max(wall, 1e-9):.2f}x realtime), "
+          f"{len(sys_.trajectory)} poses")
+
+    if sys_.trajectory:
+        from scipy.spatial.transform import Rotation as Rsc
+        from lvislam_tpu.utils.checkpoint import save_trajectory_tum
+        from lvislam_tpu.core import lie
+        import jax.numpy as jnp
+
+        ts, ps, qs = [], [], []
+        for t, x6 in sys_.trajectory:
+            x6 = np.asarray(x6)
+            ts.append(t)
+            ps.append(x6[3:6])
+            T = np.asarray(lie.pose6_to_matrix(jnp.asarray(x6)))
+            qs.append(np.roll(Rsc.from_matrix(T[:3, :3]).as_quat(), 1))
+        save_trajectory_tum(args.out, ts, ps, qs)
+        print(f"trajectory -> {args.out} (TUM format)")
+    if args.save_map:
+        from lvislam_tpu.utils.checkpoint import save_map_service
+
+        print(save_map_service(sys_.lio.state, args.save_map))
+
+
+if __name__ == "__main__":
+    main()
