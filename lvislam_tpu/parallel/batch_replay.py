@@ -33,7 +33,11 @@ def batched_lio_init(caps: mapping.LioCaps, batch: int, mesh: Mesh | None = None
 
 def make_batched_step(caps: mapping.LioCaps, params: mapping.LioParams, mesh: Mesh | None = None):
     """Returns jitted fn (batched_state, batched_scan, batched_feats) ->
-    (batched_state, batched_outputs), sharded over `batch`."""
+    (batched_state, batched_outputs), sharded over `batch`.
+
+    With a mesh, every input and output is constrained to the mesh's
+    ``batch`` axis via ``with_sharding_constraint`` — callers need not
+    pre-place state (though doing so avoids an initial reshard)."""
 
     def step(state, scan, feats):
         return mapping.map_step(state, scan, feats, caps, params)
@@ -43,9 +47,20 @@ def make_batched_step(caps: mapping.LioCaps, params: mapping.LioParams, mesh: Me
         return jax.jit(vstep)
 
     def shard_spec(x):
-        return NamedSharding(mesh, P(*(("batch",) + (None,) * (x.ndim - 1))))
+        return NamedSharding(mesh, P(*(("batch",) + (None,) * (max(x.ndim, 1) - 1))))
 
-    return jax.jit(vstep)
+    def constrain(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, shard_spec(x)) if x.ndim >= 1 else x,
+            tree,
+        )
+
+    def sharded_step(state, scan, feats):
+        state, scan, feats = constrain((state, scan, feats))
+        new_state, out = vstep(state, scan, feats)
+        return constrain(new_state), constrain(out)
+
+    return jax.jit(sharded_step)
 
 
 def make_batched_loop_step(caps: mapping.LioCaps, params: mapping.LioParams):
