@@ -136,6 +136,10 @@ class LioMapState(NamedTuple):
     # previous scan-match delta (constant-velocity guess)
     last_delta_t: jax.Array  # (3,)
     last_delta_q: jax.Array  # (4,)
+    # GPS factor bookkeeping (`addGPSFactor` statics: lastGPSPoint)
+    last_gps_pos: jax.Array  # (3,)
+    has_gps: jax.Array  # () bool — any GPS factor applied yet
+    n_gps: jax.Array  # () int32 count of GPS factors added
     # cached assembled local map (the reference's laserCloudMapContainer +
     # *FromMapDS, rebuilt on keyframe insertion / loop correction instead of
     # per scan — identical content, since the keyframe set only changes then)
@@ -182,6 +186,9 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         degenerate=jnp.array(False),
         last_delta_t=jnp.zeros(3, dtype),
         last_delta_q=lie.quat_identity(dtype),
+        last_gps_pos=jnp.zeros(3, dtype),
+        has_gps=jnp.array(False),
+        n_gps=jnp.int32(0),
         map_corner=jnp.zeros((caps.map_corner, 3), dtype),
         map_corner_valid=jnp.zeros(caps.map_corner, bool),
         map_surf=jnp.zeros((caps.map_surf, 3), dtype),
@@ -496,10 +503,25 @@ def map_step(
         incr_x6=incr_x6, last_delta_t=ti, last_delta_q=qi
     )
 
+    # saturate at capacity: beyond max_keyframes the map freezes (no new
+    # keyframes/factors) but odometry keeps running against the frozen local
+    # map — graceful degradation instead of the silent last-slot overwrite
+    # an unguarded `.at[k]` would do (XLA clamps out-of-bounds scatter)
     is_kf = _is_keyframe(state, params, scan["stamp"], is_livox)
+    is_kf &= state.kf_count < caps.max_keyframes
 
     def with_kf(state):
         state = _add_keyframe(state, feats, caps, params, scan["stamp"])
+        # GPS factor between keyframe insert and the solve — the reference's
+        # addOdomFactor -> addGPSFactor -> optimize order (`:1540-1551`)
+        if "gps_available" in scan:
+            state = jax.lax.cond(
+                scan["gps_available"],
+                lambda s: _add_gps_factor_impl(
+                    s, scan["gps_pos"], scan["gps_noise"],
+                    scan["gps_use_elevation"], params),
+                lambda s: s, state,
+            )
         state = _maybe_optimize(state)
         mc, mc_val, ms, ms_val = _assemble_local_map(state, caps, params, scan["stamp"])
         return state._replace(
@@ -522,19 +544,24 @@ def map_step(
     )
 
 
-@partial(jax.jit, static_argnames=("caps", "params"))
-def add_gps_factor(
+def _add_gps_factor_impl(
     state: LioMapState,
     gps_pos: jax.Array,  # (3,) GPS position in the map frame
     gps_noise: jax.Array,  # (3,) position variances
-    use_elevation: bool,
-    caps: LioCaps,
+    use_elevation,  # () bool (traced or python)
     params: LioParams,
 ):
     """`addGPSFactor` (`mapOptimization.cpp:1433-1507`): unary position
-    factor on the newest keyframe, gated by pose-covariance need, GPS noise
-    quality, and 5 m spacing (spacing/staleness gates live in the scheduler;
-    the covariance gate uses the pose-graph marginal proxy)."""
+    factor on the newest keyframe. Gates reproduced:
+
+    - system settled: distance first->last keyframe >= 5 m (`:1459-1461`);
+    - GPS quality: x/y variance <= gpsCovThreshold (`:1466-1470`);
+    - GPS spacing: >= 5 m from the last APPLIED GPS point (`:1477-1482`);
+    - noise floor 1.0 (`:1484-1496`), optional elevation (`:1487-1491`).
+
+    The reference's pose-covariance need gate (`:1437-1441`, iSAM marginals
+    on x/y) has no cheap batch-solver equivalent here; the 5 m GPS spacing
+    gate bounds the factor rate the same way in practice."""
     k = state.kf_count - 1
     g = state.graph
     noise = jnp.maximum(gps_noise, 1.0)  # (`:1496` floor at 1.0)
@@ -544,11 +571,10 @@ def add_gps_factor(
     sqrtw = 1.0 / jnp.sqrt(jnp.concatenate([noise[:2], nz[None]]))
 
     ok = (state.kf_count > 0) & (
-        jnp.linalg.norm(state.kf_trans[0] - state.kf_trans[k])
-        >= 5.0
+        jnp.linalg.norm(state.kf_trans[0] - state.kf_trans[k]) >= 5.0
     ) & (gps_noise[0] <= params.gpsCovThreshold) & (
         gps_noise[1] <= params.gpsCovThreshold
-    )
+    ) & ((~state.has_gps) | (jnp.linalg.norm(pos - state.last_gps_pos) >= 5.0))
 
     slot = jnp.argmin(g.up_valid)  # first free unary slot
 
@@ -559,9 +585,29 @@ def add_gps_factor(
             up_sqrtw=g.up_sqrtw.at[slot].set(sqrtw),
             up_valid=g.up_valid.at[slot].set(True),
         )
-        return state._replace(graph=g2, loop_pending=jnp.array(True))
+        return state._replace(
+            graph=g2, loop_pending=jnp.array(True),
+            last_gps_pos=pos, has_gps=jnp.array(True),
+            n_gps=state.n_gps + 1,
+        )
 
     return jax.lax.cond(ok & (~g.up_valid[slot]), add, lambda s: s, state)
+
+
+@partial(jax.jit, static_argnames=("caps", "params"))
+def add_gps_factor(
+    state: LioMapState,
+    gps_pos: jax.Array,
+    gps_noise: jax.Array,
+    use_elevation: bool,
+    caps: LioCaps,
+    params: LioParams,
+):
+    """Standalone jitted entry for hosts that apply GPS outside `map_step`
+    (the in-step path is `scan["gps_available"/"gps_pos"/"gps_noise"/
+    "gps_use_elevation"]`, applied between keyframe insert and optimize
+    exactly like the reference's factor order)."""
+    return _add_gps_factor_impl(state, gps_pos, gps_noise, use_elevation, params)
 
 
 # ---------------------------------------------------------------------------

@@ -66,7 +66,7 @@ TIME_SCALE = 4e-6  # s per quantum; covers 0.13 s sweeps
 )
 def lio_full_step(
     state: mapping.LioMapState,
-    packed,  # (P*6 + M*8 + 32,) int16 — ONE transfer per scan: the axon
+    packed,  # (P*6 + M*8 + 48,) int16 — ONE transfer per scan: the axon
              # attachment pays per-copy latency AND is bandwidth-bound, so
              # all inputs ride one flat quantized buffer unpacked on device.
     *,
@@ -84,7 +84,7 @@ def lio_full_step(
         packed[P * 6 : P * 6 + M * 8].reshape(M, 4, 2), jnp.float32
     )
     misc = jax.lax.bitcast_convert_type(
-        packed[P * 6 + M * 8 :].reshape(16, 2), jnp.float32
+        packed[P * 6 + M * 8 :].reshape(24, 2), jnp.float32
     )
     xyz = pts[:, 0:3].astype(jnp.float32) * POS_SCALE
     intensity = pts[:, 3].astype(jnp.float32)
@@ -103,6 +103,10 @@ def lio_full_step(
     odom_quat = misc[10:14]
     odom_reset_id = misc[14].astype(jnp.int32)
     do_loop = misc[15] > 0.5
+    gps_available = misc[16] > 0.5
+    gps_pos = misc[17:20]
+    gps_noise = misc[20:23]
+    gps_use_elevation = misc[23] > 0.5
 
     proj = frontend.project_scan(
         xyz, intensity, ring, rel_time, point_valid,
@@ -127,6 +131,10 @@ def lio_full_step(
         odom_trans=odom_trans,
         odom_quat=odom_quat,
         odom_reset_id=odom_reset_id,
+        gps_available=gps_available,
+        gps_pos=gps_pos,
+        gps_noise=gps_noise,
+        gps_use_elevation=gps_use_elevation,
     )
     state, out = mapping.map_step(state, scan_info, feats, caps, params)
 
@@ -229,11 +237,15 @@ class LioPipeline:
         imu_gyro: np.ndarray,
         imu_rpy_init: np.ndarray | None,
         odom: dict | None = None,
+        gps: dict | None = None,
     ):
         """scan: dict(xyz, intensity, ring, time, stamp). imu_*: samples
         covering the scan, times relative to scan start. odom: optional VINS
-        initial-guess odometry (trans, quat, reset_id). Fully async: returns
-        device arrays without syncing."""
+        initial-guess odometry (trans, quat, reset_id). gps: optional
+        map-frame GPS fix (pos (3,), noise (3,) variances, use_elevation) —
+        staleness-gate it host-side (|t_gps - t_scan| < 0.2 s, the
+        reference's queue pop, `mapOptimization.cpp:1444-1452`). Fully
+        async: returns device arrays without syncing."""
         cfg = self.cfg
         P, M = cfg.point_capacity, cfg.imu_capacity
         self.scan_counter += 1
@@ -241,7 +253,7 @@ class LioPipeline:
             cfg.loop_closure_enabled
             and self.scan_counter % cfg.loop_every_n_scans == 0
         )
-        buf = np.zeros(P * 6 + M * 8 + 32, np.int16)
+        buf = np.zeros(P * 6 + M * 8 + 48, np.int16)
         pts = buf[: P * 6].reshape(P, 6)
         n = min(len(scan["xyz"]), P)
         np.clip(np.round(scan["xyz"][:n] / POS_SCALE), -32767, 32767,
@@ -268,6 +280,10 @@ class LioPipeline:
         misc[10:14] = odom["quat"] if odom else (1.0, 0, 0, 0)
         misc[14] = odom["reset_id"] if odom else 0
         misc[15] = float(do_loop)
+        misc[16] = float(gps is not None)
+        misc[17:20] = gps["pos"] if gps else 0.0
+        misc[20:23] = gps["noise"] if gps else 0.0
+        misc[23] = float(gps.get("use_elevation", False)) if gps else 0.0
         if cfg.upload_batch > 1:
             self._staged.append((buf, scan["stamp"]))
             if len(self._staged) >= cfg.upload_batch:

@@ -45,12 +45,19 @@ class LoopCaps:
 
 
 class LoopDB(NamedTuple):
+    """Fixed-capacity RING buffer: slot = insert_seq % N. `seq` records each
+    slot's global insert number (-1 = never written), so recency exclusion
+    stays correct after wraparound — at capacity the oldest entry is evicted
+    (the reference's DBoW2 database grows unboundedly; a ring bounds memory
+    while keeping the most recent N keyframes queryable)."""
+
     bags: jax.Array  # (N, V) BoW vectors
     kp_desc: jax.Array  # (N, E, 256) extra-keypoint descriptors (±1)
     kp_valid: jax.Array  # (N, E)
     kp_norm: jax.Array  # (N, E, 2) normalized coords of extra keypoints
     stamps: jax.Array  # (N,)
-    count: jax.Array  # ()
+    count: jax.Array  # () total inserts ever (not clamped to N)
+    seq: jax.Array  # (N,) int32 insert number held by each slot, -1 if empty
     vocab: jax.Array  # (V, 256)
 
 
@@ -63,6 +70,7 @@ def db_init(caps: LoopCaps, dtype=jnp.float32) -> LoopDB:
         kp_norm=jnp.zeros((N, E, 2), dtype),
         stamps=jnp.zeros(N, dtype),
         count=jnp.int32(0),
+        seq=jnp.full(N, -1, jnp.int32),
         vocab=brief.make_vocabulary(V),
     )
 
@@ -110,19 +118,19 @@ def add_and_detect(
     all_valid = jnp.concatenate([win_valid, kp_ok], axis=0)
     bag = brief.bow_vector(all_desc, all_valid, db.vocab)
 
-    # ---- query (excluding recent frames) ----
+    # ---- query (excluding recent frames; ring-aware via per-slot seq) ----
     n = db.count
     scores = brief.bow_scores(bag, db.bags)
-    idx = jnp.arange(caps.max_keyframes)
-    eligible = (idx < n - caps.recent_exclude)
+    eligible = (db.seq >= 0) & (db.seq < n - caps.recent_exclude)
     scores = jnp.where(eligible, scores, -1.0)
     top4, top_idx = jax.lax.top_k(scores, 4)
     # accept: best > 0.05 and at least one other > 0.015 (`:99-123`)
     good = (top4[0] > 0.05) & jnp.any(top4[1:] > 0.015)
-    # earliest qualifying index among candidates above 0.015
-    qual = jnp.where(top4 > 0.015, top_idx, caps.max_keyframes)
-    old_idx = jnp.min(qual)
-    has_cand = good & (old_idx < caps.max_keyframes)
+    # earliest qualifying frame among candidates above 0.015 — chronological
+    # order is the per-slot seq, not the slot index (ring wraparound)
+    qual_seq = jnp.where(top4 > 0.015, db.seq[top_idx], jnp.int32(2**30))
+    old_idx = top_idx[jnp.argmin(qual_seq)]
+    has_cand = good & jnp.any(top4 > 0.015)
 
     # ---- geometric verification vs the old keyframe ----
     def verify(_):
@@ -154,8 +162,9 @@ def add_and_detect(
 
     cand = jax.lax.cond(has_cand, verify, no, None)
 
-    # ---- insert into DB (add AFTER query, `loop_detector.cpp:46`) ----
-    k = jnp.minimum(n, caps.max_keyframes - 1)
+    # ---- insert into DB (add AFTER query, `loop_detector.cpp:46`);
+    # ring slot: at capacity the oldest entry is evicted ----
+    k = n % caps.max_keyframes
     db = db._replace(
         bags=db.bags.at[k].set(bag),
         kp_desc=db.kp_desc.at[k].set(kp_desc),
@@ -163,5 +172,6 @@ def add_and_detect(
         kp_norm=db.kp_norm.at[k].set(kp_norm),
         stamps=db.stamps.at[k].set(stamp),
         count=n + 1,
+        seq=db.seq.at[k].set(n),
     )
     return db, cand

@@ -98,6 +98,7 @@ class LviSystem:
         self.depth_slot = 0
         # cross-subsystem state
         self.vins_odom = None  # latest VIS imu-propagate (for LIS guess)
+        self.last_gps = None  # latest map-frame GPS fix (stamp, pos, noise, use_elev)
         self.lio_odoms: list[tuple] = []  # (stamp, trans, quat) of LIS fused odom
         self.pending_loop = None
         self.trajectory: list[tuple] = []
@@ -158,7 +159,12 @@ class LviSystem:
         irt = (ts[sel] - stamp).astype(np.float32)
         ig = np.stack([self.imu_gyro[i] for i in sel]) if len(sel) else np.zeros((0, 3), np.float32)
         rpy = self.imu_rpy[sel[0]] if len(sel) else None
-        out = self.lio.process_scan(scan, irt, ig, rpy, odom=odom)
+        # GPS staleness gate: use the latest fix within 0.2 s of the scan
+        # (the reference's gpsQueue pop, `mapOptimization.cpp:1444-1452`)
+        gps = None
+        if self.last_gps is not None and abs(self.last_gps["stamp"] - stamp) < 0.2:
+            gps = self.last_gps
+        out = self.lio.process_scan(scan, irt, ig, rpy, odom=odom, gps=gps)
 
         # LIS incremental odometry -> IMU fusion correction (IMU frame)
         t_inc, q_inc = mapping._x6_to_tq(out.incr_x6)
@@ -396,6 +402,16 @@ class LviSystem:
 
     def feed_lidar(self, stamp, scan):
         self.bus.publish("lidar", stamp, scan)
+
+    def feed_gps(self, stamp, pos, noise, use_elevation=False):
+        """Map-frame GPS fix (the reference's `odometry/gps` input from
+        navsat_transform; raw NavSatFix converts via `utils.bag.navsat_to_enu`).
+        pos: (3,) meters; noise: (3,) position variances."""
+        self.last_gps = dict(
+            stamp=float(stamp), pos=np.asarray(pos, np.float32),
+            noise=np.asarray(noise, np.float32),
+            use_elevation=bool(use_elevation),
+        )
 
     def feed_image(self, stamp, image):
         self.bus.publish("image", stamp, dict(image=image))

@@ -176,12 +176,63 @@ def parse_livox_custommsg(buf: bytes):
     return dict(stamp=stamp, xyz=xyz, time=t, ring=ring, intensity=refl)
 
 
+def parse_odometry(buf: bytes):
+    """nav_msgs/Odometry — the reference's GPS input is this type on
+    `odometry/gps` (robot_localization navsat output; `mapOptimization.cpp`
+    gpsTopic subscription). Also decodes any other Odometry topic."""
+    c = Cdr(buf)
+    stamp, frame = c.header()
+    child = c.string()
+    pos = c.f64_array(3)
+    quat = c.f64_array(4)  # x y z w
+    cov = c.f64_array(36)
+    return dict(stamp=stamp, frame=frame, child_frame=child,
+                pos=np.asarray(pos), quat_xyzw=np.asarray(quat),
+                # diagonal position variances (x, y, z) — the gates the
+                # reference reads (`mapOptimization.cpp:1466-1470`)
+                pos_cov=np.asarray([cov[0], cov[7], cov[14]]))
+
+
+def parse_navsatfix(buf: bytes):
+    """sensor_msgs/NavSatFix (raw GPS). Convert to a local frame with
+    `navsat_to_enu` before feeding the mapper."""
+    c = Cdr(buf)
+    stamp, frame = c.header()
+    status = c._prim("b", 1)  # NavSatStatus.status (int8)
+    service = c.u16()
+    lat = c.f64()
+    lon = c.f64()
+    alt = c.f64()
+    cov = c.f64_array(9)
+    cov_type = c.u8()
+    return dict(stamp=stamp, lat=lat, lon=lon, alt=alt, status=status,
+                pos_cov=np.asarray([cov[0], cov[4], cov[8]]),
+                cov_type=cov_type)
+
+
+_EARTH_R = 6378137.0
+
+
+def navsat_to_enu(lat, lon, alt, ref_lat, ref_lon, ref_alt):
+    """Equirectangular lat/lon -> local ENU meters around a reference fix
+    (adequate at SLAM mission scales; the reference delegates the same job
+    to robot_localization's navsat_transform)."""
+    d_lat = np.radians(lat - ref_lat)
+    d_lon = np.radians(lon - ref_lon)
+    e = d_lon * _EARTH_R * np.cos(np.radians(ref_lat))
+    n = d_lat * _EARTH_R
+    u = alt - ref_alt
+    return np.asarray([e, n, u], np.float64)
+
+
 _PARSERS = {
     "sensor_msgs/msg/Imu": ("imu", parse_imu),
     "sensor_msgs/msg/PointCloud2": ("pointcloud", parse_pointcloud2),
     "sensor_msgs/msg/Image": ("image", parse_image),
     "livox_ros_driver2/msg/CustomMsg": ("livox", parse_livox_custommsg),
     "livox_ros_driver/msg/CustomMsg": ("livox", parse_livox_custommsg),
+    "nav_msgs/msg/Odometry": ("odometry", parse_odometry),
+    "sensor_msgs/msg/NavSatFix": ("navsatfix", parse_navsatfix),
 }
 
 

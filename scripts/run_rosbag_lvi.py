@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--imu-topic", default="/livox/imu")
     ap.add_argument("--lidar-topic", default="/livox/lidar")
     ap.add_argument("--image-topic", default="/camera/image")
+    ap.add_argument("--gps-topic", default=None,
+                    help="nav_msgs/Odometry in map frame (the reference's "
+                         "odometry/gps) or sensor_msgs/NavSatFix (converted "
+                         "to ENU around the first fix)")
+    ap.add_argument("--gps-elevation", action="store_true",
+                    help="trust GPS altitude (useGpsElevation)")
     ap.add_argument("--max-seconds", type=float, default=1e18)
     ap.add_argument("--save-map")
     ap.add_argument("--out", default="lvi_trajectory.tum")
@@ -86,6 +92,9 @@ def main():
     topics = {args.imu_topic, args.lidar_topic}
     if not args.no_camera:
         topics.add(args.image_topic)
+    if args.gps_topic:
+        topics.add(args.gps_topic)
+    ref_fix = None  # first NavSatFix, ENU origin
     t0 = None
     n_msgs = 0
     # gravity-aligned RPY from the accelerometer when the IMU carries no
@@ -111,6 +120,18 @@ def main():
             sys_.feed_lidar(t - t0, pc2_to_scan(msg))
         elif kind == "image":
             sys_.feed_image(t - t0, msg["image"])
+        elif kind == "odometry" and topic == args.gps_topic:
+            sys_.feed_gps(t - t0, msg["pos"], msg["pos_cov"],
+                          use_elevation=args.gps_elevation)
+        elif kind == "navsatfix":
+            if msg["status"] < 0:  # STATUS_NO_FIX
+                continue
+            if ref_fix is None:
+                ref_fix = (msg["lat"], msg["lon"], msg["alt"])
+            from lvislam_tpu.utils.bag import navsat_to_enu
+            enu = navsat_to_enu(msg["lat"], msg["lon"], msg["alt"], *ref_fix)
+            sys_.feed_gps(t - t0, enu, msg["pos_cov"],
+                          use_elevation=args.gps_elevation)
 
     print(f"replaying {n_msgs} messages ...")
     w0 = time.time()
@@ -120,6 +141,8 @@ def main():
     print(f"bag span {dur:.1f}s processed in {wall:.1f}s "
           f"({dur / max(wall, 1e-9):.2f}x realtime), "
           f"{len(sys_.trajectory)} poses")
+    if args.gps_topic:
+        print(f"gps factors applied: {int(sys_.lio.state.n_gps)}")
 
     if sys_.trajectory:
         from scipy.spatial.transform import Rotation as Rsc

@@ -1,0 +1,132 @@
+"""GPS factor wiring: a drifting odometry chain is pulled toward GPS
+(`addGPSFactor`, `mapOptimization.cpp:1433-1507`), with the reference's
+quality/spacing/settling gates."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lvislam_tpu.models.lio import mapping
+from lvislam_tpu.models.lio.frontend import FeatureResult
+
+
+CAPS = mapping.LioCaps(
+    max_keyframes=64, kf_corner=32, kf_surf=64, sel_keyframes=4,
+    map_corner=256, map_surf=1024, scan_corner=32, scan_surf=64,
+    max_loops=2, max_gps=16, loop_submap=128, icp_iters=3,
+    corner_hash_size=1 << 8, surf_hash_size=1 << 10, hash_bucket=8,
+    surf_hash_bucket=8,
+)
+# keyframe every scan; feature gates unmet -> GN skipped, pose = guess
+PARAMS = mapping.LioParams(livox_keyframe_interval=0.0)
+
+
+def _empty_feats():
+    return FeatureResult(
+        corner_xyz=jnp.zeros((CAPS.scan_corner, 3)),
+        corner_valid=jnp.zeros(CAPS.scan_corner, bool),
+        surf_xyz=jnp.zeros((CAPS.scan_surf, 3)),
+        surf_valid=jnp.zeros(CAPS.scan_surf, bool),
+        num_corner=jnp.int32(0),
+        num_surf=jnp.int32(0),
+    )
+
+
+def _run_chain(n_scans, drift_per_m, with_gps, gps_noise=0.25):
+    """Odometry (VINS guess channel) reports `1 + drift` m/scan along x;
+    GPS reports the true 1 m/scan positions."""
+    state = mapping.lio_init(CAPS)
+    feats = _empty_feats()
+    for i in range(n_scans):
+        # map frame is anchored at the first keyframe (scan 0 -> origin):
+        # true position of scan i is i meters; the VINS guess channel has
+        # its own origin (only deltas are consumed) and stretches 10%/m
+        true_x = float(i)
+        drift_x = float(i + 1) * (1.0 + drift_per_m)
+        scan = dict(
+            stamp=jnp.float32(0.1 * (i + 1)),
+            imu_available=jnp.array(False),
+            imu_rpy_init=jnp.zeros(3),
+            odom_available=jnp.array(True),
+            odom_trans=jnp.array([drift_x, 0.0, 0.0]),
+            odom_quat=jnp.array([1.0, 0, 0, 0]),
+            odom_reset_id=jnp.int32(0),
+            gps_available=jnp.array(bool(with_gps)),
+            gps_pos=jnp.array([true_x, 0.0, 0.0]),
+            gps_noise=jnp.full(3, gps_noise),
+            gps_use_elevation=jnp.array(False),
+        )
+        state, out = mapping.map_step(state, scan, feats, CAPS, PARAMS)
+    n = int(state.kf_count)
+    est = np.asarray(state.kf_trans[:n])
+    true = np.stack([np.arange(n, dtype=float), np.zeros(n), np.zeros(n)], -1)
+    rmse = float(np.sqrt(np.mean(np.sum((est - true) ** 2, -1))))
+    return state, rmse
+
+
+def test_gps_reduces_drift():
+    n = 30
+    state_g, rmse_g = _run_chain(n, drift_per_m=0.10, with_gps=True)
+    state_0, rmse_0 = _run_chain(n, drift_per_m=0.10, with_gps=False)
+    assert int(state_0.n_gps) == 0
+    assert int(state_g.n_gps) >= 3, int(state_g.n_gps)
+    assert rmse_g < rmse_0, (rmse_g, rmse_0)
+    # GPS anchors the chain absolutely: at the GPS-anchored keyframes the
+    # error must be zero-mean (the odometry stretch stays — its factors are
+    # 100x stiffer, reference noise models `:1484-1496` vs ODOM 1e-4 — but
+    # the free global mode snaps to the GPS fixes)
+    kn = int(state_g.kf_count)
+    true = np.stack([np.arange(kn, dtype=float), np.zeros(kn), np.zeros(kn)], -1)
+    ks = np.asarray(state_g.graph.up_k[np.asarray(state_g.graph.up_valid)])
+    e_gps = np.asarray(state_g.kf_trans[:kn, 0]) - true[:, 0]
+    e_0 = np.asarray(state_0.kf_trans[:kn, 0]) - true[:, 0]
+    assert abs(e_gps[ks].mean()) < 0.15, e_gps[ks]
+    assert e_0[ks].mean() > 0.35, e_0[ks]  # un-anchored chain is biased
+
+
+def test_gps_gates():
+    # bad covariance: rejected entirely
+    state_bad, _ = _run_chain(20, drift_per_m=0.10, with_gps=True,
+                              gps_noise=25.0)  # > gpsCovThreshold=2.0
+    assert int(state_bad.n_gps) == 0
+    # good covariance: applied, but spaced >= 5 m apart
+    state_g, _ = _run_chain(20, drift_per_m=0.10, with_gps=True)
+    n_gps = int(state_g.n_gps)
+    assert n_gps >= 2
+    pos = np.asarray(state_g.graph.up_pos[np.asarray(state_g.graph.up_valid)])
+    d = np.linalg.norm(np.diff(pos, axis=0), axis=-1)
+    assert (d >= 4.9).all(), d  # 5 m spacing gate
+    # settling gate: first GPS only after the chain spans 5 m
+    ks = np.asarray(state_g.graph.up_k[np.asarray(state_g.graph.up_valid)])
+    assert ks.min() >= 4, ks
+
+
+def test_gps_through_packed_pipeline():
+    """End-to-end through LioPipeline.process_scan: the GPS payload rides
+    the packed int16 upload (misc[16:24]) into map_step and produces
+    factors — covers the pack/unpack layout."""
+    from lvislam_tpu.models.lio.pipeline import LioConfig, LioPipeline
+
+    cfg = LioConfig(
+        n_scan=4, horizon=64, point_capacity=256, imu_capacity=8,
+        caps=CAPS, params=PARAMS, loop_closure_enabled=False,
+    )
+    pipe = LioPipeline(cfg)
+    empty_scan = dict(
+        xyz=np.zeros((0, 3), np.float32), intensity=np.zeros(0, np.float32),
+        ring=np.zeros(0, np.int32), time=np.zeros(0, np.float32), stamp=0.0,
+    )
+    for i in range(16):
+        true_x = float(i)
+        drift_x = float(i + 1) * 1.1
+        scan = dict(empty_scan, stamp=0.1 * (i + 1))
+        pipe.process_scan(
+            scan, np.zeros(0, np.float32), np.zeros((0, 3), np.float32), None,
+            odom=dict(trans=np.array([drift_x, 0, 0], np.float32),
+                      quat=np.array([1.0, 0, 0, 0], np.float32), reset_id=0),
+            gps=dict(pos=np.array([true_x, 0, 0], np.float32),
+                     noise=np.full(3, 0.25, np.float32)),
+        )
+    assert int(pipe.state.n_gps) >= 2, int(pipe.state.n_gps)
+    pos = np.asarray(pipe.state.graph.up_pos[np.asarray(pipe.state.graph.up_valid)])
+    # GPS positions (not the drifted odometry) landed in the graph
+    assert (np.abs(pos[:, 0] - np.round(pos[:, 0])) < 1e-4).all(), pos
