@@ -62,6 +62,9 @@ class LviConfig:
     # camera-IMU extrinsic
     tic: tuple = (0.0, 0.0, 0.0)
     qic: tuple = (1.0, 0.0, 0.0, 0.0)  # wxyz
+    # rolling-shutter readout time per frame, seconds (params_camera.yaml
+    # `rolling_shutter_tr`; 0 = global shutter — the shipped rig's value)
+    rolling_shutter_tr: float = 0.0
     metrics_path: str | None = None  # JSONL per-stage metrics (SURVEY.md §5)
 
 
@@ -128,7 +131,11 @@ class LviSystem:
             for b in (self.imu_times, self.imu_gyro, self.imu_acc, self.imu_rpy):
                 del b[:1000]
 
-    def _imu_window(self, t0, t1, cap):
+    def _imu_window(self, t0, t1, cap, interp_end=False):
+        """IMU samples in (t0, t1]. With `interp_end`, a synthetic final
+        sample is linearly interpolated at exactly t1 from the straddling
+        pair — the reference's td-aware boundary handling when pairing IMU
+        to a frame at t_img+td (`estimator_node.cpp:333-349`)."""
         ts = np.asarray(self.imu_times)
         sel = np.nonzero((ts > t0) & (ts <= t1))[0]
         n = min(len(sel), cap)
@@ -142,18 +149,54 @@ class LviSystem:
             gyrs[:n] = np.stack([self.imu_gyro[i] for i in sel[:n]])
             accs[n:] = accs[n - 1]
             gyrs[n:] = gyrs[n - 1]
+            if interp_end and n < cap and tt[n - 1] < t1:
+                k_last = sel[n - 1]
+                if k_last + 1 < len(ts):
+                    # lerp the straddling sample at exactly t1 (`:340-348`)
+                    ta, tb = ts[k_last], ts[k_last + 1]
+                    w = (t1 - ta) / max(tb - ta, 1e-9)
+                    accs[n] = (1 - w) * self.imu_acc[k_last] + w * self.imu_acc[k_last + 1]
+                    gyrs[n] = (1 - w) * self.imu_gyro[k_last] + w * self.imu_gyro[k_last + 1]
+                else:
+                    accs[n] = self.imu_acc[k_last]
+                    gyrs[n] = self.imu_gyro[k_last]
+                dts[n] = t1 - tt[n - 1]
+                n += 1
+                accs[n:] = accs[n - 1]
+                gyrs[n:] = gyrs[n - 1]
         return dts, accs, gyrs, n
 
     # ---------------------------------------------------------------- LIDAR
     def _on_lidar(self, stamp, scan):
         # exchange 1: VIS initial guess for the LIS (incremental, reset-id
-        # guarded)
+        # guarded), propagated from the last VIO frame to the scan stamp
+        # with the raw IMU samples — the IMU-rate `imu_propagate` guess
+        # (`estimator_node.cpp:218-245`) sampled exactly at scan time,
+        # instead of the up-to-100 ms-stale per-camera-frame pose
         odom = None
         if self.vins_odom is not None:
-            odom = dict(
-                trans=self.vins_odom["trans"], quat=self.vins_odom["quat"],
-                reset_id=self.vins_odom["reset_id"],
-            )
+            vo = self.vins_odom
+            t_g, q_g = vo["trans"], vo["quat"]
+            if stamp > vo["stamp"]:
+                dts, accs, gyrs, n = self._imu_window(vo["stamp"], stamp, 64)
+                if n > 0 and np.isfinite(t_g).all():
+                    from ..ops import preintegration as _pre
+                    G = jnp.asarray(
+                        [0.0, 0.0, -self.cfg.fusion.imuGravity], jnp.float32
+                    )
+                    nav = _pre.NavState(
+                        pos=jnp.asarray(t_g, jnp.float32),
+                        quat=jnp.asarray(q_g, jnp.float32),
+                        vel=jnp.asarray(vo["vel"], jnp.float32),
+                        ba=jnp.asarray(vo["ba"], jnp.float32),
+                        bg=jnp.asarray(vo["bg"], jnp.float32),
+                    )
+                    nav = _pre.navstate_predict(
+                        nav, jnp.asarray(dts), jnp.asarray(accs),
+                        jnp.asarray(gyrs), G,
+                    )
+                    t_g, q_g = np.asarray(nav.pos), np.asarray(nav.quat)
+            odom = dict(trans=t_g, quat=q_g, reset_id=vo["reset_id"])
         ts = np.asarray(self.imu_times)
         sel = np.nonzero((ts >= stamp - 0.01) & (ts <= stamp + 0.15))[0]
         irt = (ts[sel] - stamp).astype(np.float32)
@@ -249,10 +292,14 @@ class LviSystem:
                 jnp.asarray(self.vins_odom["quat"]),
             ))
 
-        # VIO: IMU since last frame, then the image
+        # VIO: IMU since last frame up to t_img + td, with the straddling
+        # sample interpolated at the exact boundary (`estimator_node.cpp:
+        # 333-349`); td is the estimator's current time-offset estimate
+        td = float(np.asarray(self.vio.ws.td)) if cfg.ba.estimate_td else 0.0
         if self.last_image_time > 0:
             dts, accs, gyrs, n = self._imu_window(
-                self.last_image_time, stamp, cfg.vio_caps.imu_buf
+                self.last_image_time + td, stamp + td, cfg.vio_caps.imu_buf,
+                interp_end=True,
             )
             if n > 0:
                 self.vio = est.process_imu(
@@ -265,16 +312,31 @@ class LviSystem:
         if len(self.frame_times) > 64:
             del self.frame_times[:32]
         lidar_odom = self._lidar_seed(stamp)
+        # rolling-shutter row time per observation (TR/ROW * row,
+        # `projection_td_factor.cpp:18-19`); zero for global shutter
+        rt = None
+        if cfg.rolling_shutter_tr > 0:
+            rt = tout.uv[:, 1] * (cfg.rolling_shutter_tr / cfg.image_height)
         self.vio, vout = est.process_image(
             self.vio, tout.ids, tout.norm, tout.vel, jnp.asarray(depth),
             tout.valid, lidar_odom, cfg.vio_caps, cfg.vio_params, cfg.ba,
+            rt=rt,
         )
         self.vio_frames += 1
 
-        # exchange 1 publication: VIS odometry for the LIS initial guess
+        # exchange 1 publication: VIS odometry for the LIS initial guess —
+        # the full nav state so the lidar handler can propagate it to the
+        # exact scan stamp (the reference publishes `imu_propagate` at IMU
+        # rate, `estimator_node.cpp:218-245`; propagating on demand at scan
+        # time is the same signal without 200 Hz of host->device traffic)
         if bool(np.asarray(vout["initialized"])):
+            j = min(int(self.vio.frame_count), self.cfg.vio_caps.window)
             self.vins_odom = dict(
+                stamp=float(stamp),
                 trans=np.asarray(vout["pos"]), quat=np.asarray(vout["quat"]),
+                vel=np.asarray(vout["vel"]),
+                ba=np.asarray(self.vio.ws.Bas[j]),
+                bg=np.asarray(self.vio.ws.Bgs[j]),
                 reset_id=int(self.vio.failure_count),
             )
 

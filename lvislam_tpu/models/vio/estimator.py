@@ -56,6 +56,12 @@ class VioParams:
     # static flag: tracing the SfM costs compile time, so lidar-only rigs
     # can turn it off
     use_visual_init: bool = True
+    # ESTIMATE_EXTRINSIC=2 semantics (`estimator.cpp:160-186`): bootstrap the
+    # camera-IMU rotation online via hand-eye calibration; initialization is
+    # blocked until it converges (`:219`). Static flag (traces the epipolar
+    # RANSAC + hand-eye solve per frame when on).
+    estimate_extrinsic_rotation: bool = False
+    ex_min_pairs: int = 10  # WINDOW_SIZE pairs before accepting (`:56`)
 
 
 class VioState(NamedTuple):
@@ -68,9 +74,21 @@ class VioState(NamedTuple):
     frame_valid: jax.Array  # (W+1,)
     initialized: jax.Array  # () bool — INITIAL vs NON_LINEAR
     failed: jax.Array  # () bool (failure this step)
-    failure_count: jax.Array  # () int32
+    failure_count: jax.Array  # () int32 — doubles as the reset-id the LIS
+    # guess channel checks (exchange 5): a reboot invalidates stale guesses
     td0: jax.Array  # () reference td
     last_marg_old: jax.Array  # () bool
+    # previous frame's post-solve newest pose for the jump checks
+    # (`estimator.cpp:671-681` last_P; updated at `:205-211`)
+    last_P: jax.Array  # (3,)
+    last_P_ok: jax.Array  # () bool
+    # hand-eye extrinsic-rotation bootstrap ring (ESTIMATE_EXTRINSIC=2)
+    ex_qcam: jax.Array  # (E, 4)
+    ex_qimu: jax.Array  # (E, 4)
+    ex_valid: jax.Array  # (E,)
+    ex_count: jax.Array  # () int32
+    ex_q: jax.Array  # (4,) running q_ic estimate
+    ric_ok: jax.Array  # () bool — extrinsic rotation known/converged
 
 
 def _empty_pints(W: int, M: int, dtype=jnp.float32):
@@ -110,6 +128,28 @@ def vio_init(caps: fm.VioCaps, params: VioParams, dtype=jnp.float32) -> VioState
         failure_count=jnp.int32(0),
         td0=jnp.zeros((), dtype),
         last_marg_old=jnp.array(True),
+        last_P=jnp.zeros(3, dtype),
+        last_P_ok=jnp.array(False),
+        ex_qcam=jnp.tile(lie.quat_identity(dtype), (caps.ex_pairs, 1)),
+        ex_qimu=jnp.tile(lie.quat_identity(dtype), (caps.ex_pairs, 1)),
+        ex_valid=jnp.zeros(caps.ex_pairs, bool),
+        ex_count=jnp.int32(0),
+        ex_q=lie.quat_identity(dtype),
+        ric_ok=jnp.array(not params.estimate_extrinsic_rotation),
+    )
+
+
+def _clear_state(state: VioState, caps: fm.VioCaps, params: VioParams) -> VioState:
+    """`clearState` + `setParameter` reboot (`estimator.cpp:22-80,188-196`):
+    full re-initialization keeping the extrinsic/td calibration. The caller
+    increments `failure_count` — which is also the reset-id consumed by the
+    LIS guess channel, so downstream consumers drop stale odometry."""
+    fresh = vio_init(caps, params, state.ws.Ps.dtype)
+    return fresh._replace(
+        ws=fresh.ws._replace(tic=state.ws.tic, qic=state.ws.qic, td=state.ws.td),
+        td0=state.td0,
+        failure_count=state.failure_count,
+        failed=jnp.array(True),
     )
 
 
@@ -207,6 +247,7 @@ def process_image(
     caps: fm.VioCaps,
     params: VioParams,
     cfg: ba.BAConfig,
+    rt: jax.Array | None = None,  # (N,) rolling-shutter row times, seconds
 ):
     """`processImage` (`estimator.cpp:118-212`). Returns (state, outputs)."""
     W = caps.window
@@ -214,13 +255,64 @@ def process_image(
 
     table, parallax_kf = fm.add_frame(
         state.table, fi, ids, norm, vel, depth, valid, caps,
-        min_parallax=params.min_parallax,
+        min_parallax=params.min_parallax, in_rt=rt,
     )
     # lidar info forces MARGIN_OLD during init (`estimator.cpp:127-128`)
     marg_old = parallax_kf | (~state.initialized)
     state = state._replace(table=table, frame_valid=state.frame_valid.at[fi].set(True))
 
     window_full = state.frame_count >= W
+
+    # ESTIMATE_EXTRINSIC=2: hand-eye rotation bootstrap (`estimator.cpp:
+    # 160-186`) — epipolar rotation between the two newest frames paired
+    # with the newest preintegration delta_q, pushed into a ring and
+    # re-solved each frame until excitation suffices
+    if params.estimate_extrinsic_rotation:
+        from ...ops import handeye, triangulate
+
+        def calib(state):
+            tb = state.table
+            prev = jnp.maximum(fi - 1, 0)
+            both = (
+                (tb.ids >= 0)
+                & jnp.take_along_axis(tb.obs_valid, prev[None, None], 1)[:, 0]
+                & jnp.take_along_axis(tb.obs_valid, fi[None, None], 1)[:, 0]
+            )
+            x0 = jnp.take_along_axis(tb.obs, prev[None, None, None].repeat(2, -1), 1)[:, 0]
+            x1 = jnp.take_along_axis(tb.obs, fi[None, None, None].repeat(2, -1), 1)[:, 0]
+            rel = triangulate.relative_pose(x0, x1, both, n_hyp=128)
+            # RelPose.R maps prev->cur; the hand-eye wants the same sense as
+            # preint delta_q (orientation of the NEW frame in the old) -> Rᵀ
+            q_cam = lie.matrix_to_quat(rel.R.T)
+            k = jnp.clip(state.frame_count - 1, 0, W - 1)
+            q_imu = jax.tree.map(lambda x: x[k], state.pints).delta_q
+            slot = state.ex_count % caps.ex_pairs
+            use = rel.ok & (state.frame_count >= 1)
+
+            def push(state):
+                return state._replace(
+                    ex_qcam=state.ex_qcam.at[slot].set(q_cam),
+                    ex_qimu=state.ex_qimu.at[slot].set(q_imu),
+                    ex_valid=state.ex_valid.at[slot].set(True),
+                    ex_count=state.ex_count + 1,
+                )
+
+            state = jax.lax.cond(use, push, lambda s: s, state)
+            res = handeye.calibrate_rotation(
+                state.ex_qcam, state.ex_qimu, state.ex_valid, state.ex_q,
+                min_pairs=params.ex_min_pairs,
+            )
+            state = state._replace(ex_q=res.q_ic)
+
+            def accept(state):
+                # switch to refine mode: fix qic; BA can keep polishing it
+                return state._replace(
+                    ws=state.ws._replace(qic=res.q_ic), ric_ok=jnp.array(True)
+                )
+
+            return jax.lax.cond(res.ok, accept, lambda s: s, state)
+
+        state = jax.lax.cond(state.ric_ok, lambda s: s, calib, state)
 
     def try_initialize(state):
         """Lidar-odometry-seeded initialization (`initialStructure` path A,
@@ -293,7 +385,11 @@ def process_image(
             lidar_odom["available"] & window_full, do_init, try_visual, state
         )
 
-    state = jax.lax.cond(state.initialized, lambda s: s, try_initialize, state)
+    # while the extrinsic rotation is uncalibrated, initialization is
+    # blocked ("rotation movement is needed", `estimator.cpp:219`)
+    state = jax.lax.cond(
+        state.initialized | (~state.ric_ok), lambda s: s, try_initialize, state
+    )
 
     def solve_nonlinear(state):
         table = fm.triangulate_all(
@@ -305,6 +401,7 @@ def process_image(
             state.ws, table.inv_depth, table.obs, table.vel, table.obs_valid,
             table.start_frame, feat_valid, table.lidar_flag, state.pints,
             state.frame_valid, state.prior, G, state.td0, cfg,
+            table_rt=table.rt,
         )
         state = state._replace(
             ws=res.ws, table=table._replace(inv_depth=res.inv_depth)
@@ -317,6 +414,7 @@ def process_image(
                 state.table.obs_valid, state.table.start_frame,
                 state.table.ids >= 0, state.table.lidar_flag, state.pints,
                 state.frame_valid, state.prior, G, state.td0, cfg,
+                table_rt=state.table.rt,
             )
             return state._replace(prior=pr)
 
@@ -330,27 +428,39 @@ def process_image(
         state.initialized & window_full, solve_nonlinear, lambda s: s, state
     )
 
-    # failure detection (`estimator.cpp:648-693`)
+    # failure detection (`estimator.cpp:648-693`): bias/velocity sanity plus
+    # the pose-jump checks against the previous frame's post-solve pose
+    # (>5 m translation / >1 m z, `:671-681`; the little-feature and
+    # delta-angle checks are dead code in the reference — `//return true`)
     j = jnp.minimum(state.frame_count, W)
+    cur_P = state.ws.Ps[j]
     failed = state.initialized & (
         (jnp.linalg.norm(state.ws.Bas[j]) > params.ba_threshold)
         | (jnp.linalg.norm(state.ws.Bgs[j]) > params.bg_threshold)
         | (jnp.linalg.norm(state.ws.Vs[j]) > params.max_v_norm)
+        | (state.last_P_ok & (jnp.linalg.norm(cur_P - state.last_P) > params.jump_t))
+        | (state.last_P_ok & (jnp.abs(cur_P[2] - state.last_P[2]) > params.jump_z))
     )
 
-    # slide (only when window is full)
     cfg_static = cfg
-    state = jax.lax.cond(
-        window_full,
-        lambda s: _slide_window(s, marg_old, caps, cfg_static),
-        lambda s: s._replace(frame_count=s.frame_count + 1),
-        state,
-    )
-    state = state._replace(
-        failed=failed,
-        failure_count=state.failure_count + failed.astype(jnp.int32),
-        last_marg_old=marg_old,
-    )
+
+    def reboot(state):
+        """`:188-196`: failure_occur -> clearState + setParameter. The
+        incremented failure_count is the reset-id seen by the LIS."""
+        fresh = _clear_state(state, caps, params)
+        return fresh._replace(failure_count=state.failure_count + 1)
+
+    def normal(state):
+        # record last_P BEFORE the slide (`:205-211`)
+        state = state._replace(last_P=cur_P, last_P_ok=state.initialized)
+        return jax.lax.cond(
+            window_full,
+            lambda s: _slide_window(s, marg_old, caps, cfg_static),
+            lambda s: s._replace(frame_count=s.frame_count + 1),
+            state,
+        )._replace(failed=jnp.array(False), last_marg_old=marg_old)
+
+    state = jax.lax.cond(failed, reboot, normal, state)
     outputs = dict(
         pos=state.ws.Ps[jnp.minimum(state.frame_count, W)],
         quat=state.ws.Qs[jnp.minimum(state.frame_count, W)],

@@ -29,6 +29,7 @@ class VioCaps:
     max_features: int = 512
     imu_buf: int = 64  # IMU samples per inter-frame interval
     frame_features: int = 150  # MAX_CNT incoming per frame
+    ex_pairs: int = 24  # hand-eye calibration pair ring (ESTIMATE_EXTRINSIC=2)
 
 
 class FeatureTable(NamedTuple):
@@ -39,6 +40,9 @@ class FeatureTable(NamedTuple):
     obs_valid: jax.Array  # (F, W+1)
     inv_depth: jax.Array  # (F,) inverse depth in start frame; <=0 = uninit
     lidar_flag: jax.Array  # (F,) depth came from lidar (held constant in BA)
+    # rolling-shutter row readout time per observation, seconds
+    # (TR/ROW * row, `projection_td_factor.cpp:18-19`); zero = global shutter
+    rt: jax.Array  # (F, W+1)
 
 
 def table_init(caps: VioCaps, dtype=jnp.float32) -> FeatureTable:
@@ -51,6 +55,7 @@ def table_init(caps: VioCaps, dtype=jnp.float32) -> FeatureTable:
         obs_valid=jnp.zeros((F, W1), bool),
         inv_depth=jnp.full(F, -1.0, dtype),
         lidar_flag=jnp.zeros(F, bool),
+        rt=jnp.zeros((F, W1), dtype),
     )
 
 
@@ -65,6 +70,7 @@ def add_frame(
     in_valid: jax.Array,  # (N,)
     caps: VioCaps,
     min_parallax: float = 10.0 / 460.0,
+    in_rt: jax.Array | None = None,  # (N,) rolling-shutter row time, seconds
 ):
     """`addFeatureCheckParallax` (`feature_manager.cpp:45-106`): insert the
     frame's observations and decide keyframe-ness by mean compensated
@@ -100,6 +106,12 @@ def add_frame(
     obs = table.obs.at[jnp.arange(Fcap), fi].set(row_obs)
     vel = table.vel.at[jnp.arange(Fcap), fi].set(row_vel)
     obs_valid = table.obs_valid.at[jnp.arange(Fcap), fi].set(matched_slot | take_new)
+    if in_rt is None:
+        in_rt = jnp.zeros(in_ids.shape[0], table.rt.dtype)
+    row_rt = jnp.where(
+        take_new, in_rt[src_new], jnp.where(matched_slot, in_rt[src], 0.0)
+    )
+    rt = table.rt.at[jnp.arange(Fcap), fi].set(row_rt)
 
     ids = jnp.where(take_new, in_ids[src_new], table.ids)
     start_frame = jnp.where(take_new, fi, table.start_frame)
@@ -122,6 +134,7 @@ def add_frame(
     new_table = FeatureTable(
         ids=ids, start_frame=start_frame, obs=obs, vel=vel,
         obs_valid=obs_valid, inv_depth=inv_depth, lidar_flag=lidar_flag,
+        rt=rt,
     )
 
     # ---- parallax keyframe test ----
@@ -184,6 +197,7 @@ def slide_old(
     obs_valid = jnp.concatenate(
         [table.obs_valid[:, 1:], jnp.zeros_like(table.obs_valid[:, :1])], axis=1
     )
+    rt = jnp.concatenate([table.rt[:, 1:], jnp.zeros_like(table.rt[:, :1])], axis=1)
     start_frame = jnp.maximum(table.start_frame - 1, 0)
 
     # depth re-anchoring for features anchored at old frame 0 that survive
@@ -208,6 +222,7 @@ def slide_old(
         ids=ids, start_frame=start_frame, obs=obs, vel=vel,
         obs_valid=obs_valid, inv_depth=jnp.where(alive, inv_depth, -1.0),
         lidar_flag=table.lidar_flag & alive,
+        rt=rt,
     ))
 
 
@@ -220,6 +235,7 @@ def slide_new(table: FeatureTable, caps: VioCaps):
     obs = table.obs.at[:, W - 1].set(table.obs[:, W])
     vel = table.vel.at[:, W - 1].set(table.vel[:, W])
     obs_valid = table.obs_valid.at[:, W - 1].set(table.obs_valid[:, W])
+    rt = table.rt.at[:, W - 1].set(table.rt[:, W]).at[:, W].set(0.0)
     obs = obs.at[:, W].set(0.0)
     vel = vel.at[:, W].set(0.0)
     obs_valid = obs_valid.at[:, W].set(False)
@@ -228,7 +244,7 @@ def slide_new(table: FeatureTable, caps: VioCaps):
     return _fix_anchors(table._replace(
         ids=jnp.where(alive, table.ids, -1),
         start_frame=start_frame,
-        obs=obs, vel=vel, obs_valid=obs_valid,
+        obs=obs, vel=vel, obs_valid=obs_valid, rt=rt,
         inv_depth=jnp.where(alive, table.inv_depth, -1.0),
         lidar_flag=table.lidar_flag & alive,
     ))

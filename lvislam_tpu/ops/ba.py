@@ -150,16 +150,20 @@ def projection_residuals(
     feat_valid: jax.Array,  # (F,)
     td0: jax.Array,  # () td at feature observation time (reference TD)
     cfg: BAConfig,
+    rt: jax.Array | None = None,  # (F, W+1) rolling-shutter row times (s)
 ):
     """(F, W+1, 2) whitened projection residuals + mask. The reference's
     ProjectionTdFactor: observation in frame i un-projected by inv depth,
     moved through body+extrinsic chain into frame j, compared on the image
-    plane; td shifts both observations along their velocities."""
+    plane; td shifts both observations along their velocities, plus the
+    per-observation rolling-shutter row-readout time
+    (`projection_td_factor.cpp:18-19,34-36`: td_i = td - td_i + TR/ROW·row)."""
     F, W1, _ = obs.shape
     dt_td = ws.td - td0
 
-    # td-corrected observations
-    obs_c = obs - vel * dt_td
+    # td- and row-time-corrected observations
+    shift = dt_td if rt is None else dt_td + rt[..., None]
+    obs_c = obs - vel * shift
 
     Ric = lie.quat_to_matrix(ws.qic)
 
@@ -243,6 +247,7 @@ def full_residual(
     td0: jax.Array,
     cfg: BAConfig,
     proj_weights: jax.Array | None = None,
+    table_rt: jax.Array | None = None,
 ):
     d_state = delta[: cfg.d_state]
     d_depth = delta[cfg.d_state :]
@@ -254,7 +259,7 @@ def full_residual(
     r_imu = imu_residuals(ws2, pints, frame_valid, gravity, cfg).reshape(-1)
     r_proj, _ = projection_residuals(
         ws2, inv_depth, table_obs, table_vel, table_obs_valid,
-        table_start, feat_valid, td0, cfg,
+        table_start, feat_valid, td0, cfg, rt=table_rt,
     )
     if proj_weights is not None:
         r_proj = r_proj * proj_weights[..., None]
@@ -278,6 +283,7 @@ def solve(
     gravity: jax.Array,
     td0: jax.Array,
     cfg: BAConfig,
+    table_rt: jax.Array | None = None,
 ) -> BAResult:
     """Damped GN with QR solves (the Ceres DOGLEG-timeboxed equivalent)."""
 
@@ -286,13 +292,14 @@ def solve(
     def eval_cost(ws_, inv_):
         r0_proj, pmask = projection_residuals(
             ws_, inv_, table_obs, table_vel, table_obs_valid,
-            table_start, feat_valid, td0, cfg,
+            table_start, feat_valid, td0, cfg, rt=table_rt,
         )
         w = robust_weights(r0_proj, pmask, cfg.cauchy_c)
         r = full_residual(
             jnp.zeros(D, ws_.Ps.dtype), ws_, inv_, table_obs, table_vel,
             table_obs_valid, table_start, feat_valid, lidar_flag, pints,
             frame_valid, prior, gravity, td0, cfg, proj_weights=w,
+            table_rt=table_rt,
         )
         return jnp.sum(r * r), w
 
@@ -308,6 +315,7 @@ def solve(
                 d, ws, inv_depth, table_obs, table_vel, table_obs_valid,
                 table_start, feat_valid, lidar_flag, pints, frame_valid,
                 prior, gravity, td0, cfg, proj_weights=w_proj,
+                table_rt=table_rt,
             )
 
         r = res(jnp.zeros(D, ws.Ps.dtype))
@@ -368,6 +376,7 @@ def marginalize_old(
     gravity: jax.Array,
     td0: jax.Array,
     cfg: BAConfig,
+    table_rt: jax.Array | None = None,
 ) -> Prior:
     """MARGIN_OLD: eliminate frame 0 (and the depths of features anchored
     there) from [prior + IMU(0,1) + frame-0 projections]; returns the new
@@ -381,7 +390,7 @@ def marginalize_old(
     # .cpp:38-69` applies the loss to each block before Schur)
     r0_proj, pmask = projection_residuals(
         ws, inv_depth, table_obs, table_vel, table_obs_valid,
-        table_start, anchored, td0, cfg,
+        table_start, anchored, td0, cfg, rt=table_rt,
     )
     w_proj = robust_weights(r0_proj, pmask, cfg.cauchy_c)
 
@@ -396,7 +405,7 @@ def marginalize_old(
         # projections of frame-0 anchored features only
         r_proj, _ = projection_residuals(
             ws2, inv2, table_obs, table_vel, table_obs_valid,
-            table_start, anchored, td0, cfg,
+            table_start, anchored, td0, cfg, rt=table_rt,
         )
         r_proj = r_proj * w_proj[..., None]
         return jnp.concatenate([r_prior, r_imu, r_proj.reshape(-1)])

@@ -85,7 +85,7 @@ def main():
         slots, _ = slots_of(q + c * 1e-9)
         cand = rel_flat[slots]  # (Q,27,B*4)
         return jnp.sum(cand.astype(jnp.float32))
-    timeit("V2 gather flat rows (T,B*4)", v2, rel_flat)
+    timeit("V2 gather flat rows (T,B*4)", v2, q)
 
     # V3: dedup-gather: sort the 55k slot ids, gather unique rows only,
     # broadcast back via a second (small-table) gather
@@ -113,7 +113,7 @@ def main():
         slots, _ = slots_of(q + c * 1e-9)
         cand = rel_i8[slots]
         return jnp.sum(cand.astype(jnp.float32))
-    timeit("V4 gather int8 rows", v4, rel_i8)
+    timeit("V4 gather int8 rows", v4, q)
 
     # V5: distance + top-k only (gather input precomputed once -> measures
     # the non-gather tail of vh.query)

@@ -85,6 +85,7 @@ def build_consistent_window(W=4, F=24, seed=0):
         obs_valid=jnp.array(obs_valid),
         inv_depth=jnp.array(inv_depth),
         lidar_flag=jnp.zeros(F, bool),
+        rt=jnp.zeros((F, W + 1)),
     )
     G = jnp.array([0.0, 0.0, params.g_norm])
     return caps, cfg, ws, pints, table, G
