@@ -48,6 +48,9 @@ def main():
         max_gps=16,
         loop_submap=8192,
         icp_iters=20,
+        # fused Pallas query tail (TPU only; identical selection — see
+        # tests/test_pallas_knn.py)
+        pallas_knn=jax.default_backend() != "cpu",
     )
     cfg = LioConfig(
         n_scan=n_scan,

@@ -70,6 +70,9 @@ class LioCaps:
     # ~16 voxel centers, and the (Q,27,B,4) candidate gather is the hot
     # HBM-bound op in scan-to-map — halving B halves it for surf queries.
     surf_hash_bucket: int = 16
+    # fuse the query tail into the Pallas VMEM kernel (`ops.pallas_knn`);
+    # TPU only (CPU tests keep the XLA path — identical selection)
+    pallas_knn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -478,6 +481,7 @@ def map_step(
             max_iters=max_gn_iters,
             eigen_thresh=params.degeneracyEigenThreshold,
             nn_refresh_every=params.nnRefreshEvery,
+            use_pallas=caps.pallas_knn,
         )
         return st.x6, st.degenerate, st.num_residuals, st.it
 

@@ -259,7 +259,7 @@ def gn_update(
     return new_x, converged, proj, degen, n_res
 
 
-@partial(jax.jit, static_argnames=("max_iters", "nn_refresh_every"))
+@partial(jax.jit, static_argnames=("max_iters", "nn_refresh_every", "use_pallas"))
 def scan_to_map_hashed(
     x6_init: jax.Array,  # (6,) initial guess [r, p, y, tx, ty, tz]
     corner_pts: jax.Array,  # (C, 3) scan edge features (lidar frame)
@@ -273,6 +273,7 @@ def scan_to_map_hashed(
     max_iters: int = 20,
     eigen_thresh: float = 100.0,
     nn_refresh_every: int = 1,
+    use_pallas: bool = False,
 ) -> "GNState":
     """`scan_to_map` with the voxel-hash gated 5-NN (`ops.voxel_hash`):
     exact for every correspondence inside the 1 m acceptance gate, O(27·B)
@@ -283,8 +284,13 @@ def scan_to_map_hashed(
     (1 == the reference's per-iteration `cornerOptimization` /
     `surfOptimization` search; 2 halves the dominant query cost — the
     inter-iteration pose deltas are mm-scale after the first step, and the
-    exact-distance recompute in the coeff stage still gates stale pairs)."""
+    exact-distance recompute in the coeff stage still gates stale pairs).
+
+    `use_pallas`: run the post-gather query tail as the fused Pallas VMEM
+    kernel (`ops.pallas_knn`) — TPU only; identical selection semantics."""
     from . import voxel_hash as vh
+
+    q_fn = (partial(vh.query_fused) if use_pallas else vh.query)
 
     C = corner_pts.shape[0]
     S = surf_pts.shape[0]
@@ -303,8 +309,8 @@ def scan_to_map_hashed(
         sw = surf_pts @ Rm.T + t
 
         def refresh(_):
-            ci2, cd2 = vh.query(corner_hash, cw, 5)
-            si2, sd2 = vh.query(surf_hash, sw, 5)
+            ci2, cd2 = q_fn(corner_hash, cw, 5)
+            si2, sd2 = q_fn(surf_hash, sw, 5)
             return ci2, cd2, si2, sd2
 
         do = (st.it % nn_refresh_every) == 0

@@ -10,18 +10,29 @@ tensor ops:
 
 - `build`: sort points by hash slot once per local-map rebuild (keyframe
   rate), scatter into bucketed storage;
-- `query`: gather the 27 neighboring buckets, one fused distance + top-k.
+- `query`: gather the 27 neighboring buckets, one fused distance + top-k
+  (`query_fused` runs the post-gather tail as a Pallas VMEM kernel).
 
 TPU bandwidth design: the candidate gather dominates, so bucket positions
-are stored CELL-RELATIVE in float16 (6 B/point instead of 16 B) (the query reconstructs
-them against the queried cell's exact corner); reconstruction error is
-< 1 mm over the 1 m cell, and the downstream coefficient stage recomputes exact f32 distances
-from the 5 selected neighbors, so selection noise cannot corrupt geometry.
+are stored CELL-RELATIVE as int16 fixed-point — `round(rel/cell * 2048)`,
+<= 0.25 mm reconstruction error (the query reconstructs absolute positions
+against the queried cell's exact corner) — and the downstream coefficient
+stage recomputes exact f32 distances from the 5 selected neighbors, so
+selection noise cannot corrupt geometry. int16 (not f16) because the
+Mosaic TPU dialect rejects f16, and the 11-bit cell tag is exact in i16.
+Storage is COMPONENT-PLANAR — `rel[(T, 4, B)]` rows laid out
+`[B·x | B·y | B·z | B·tag]` — so the gathered block feeds the Pallas tail
+kernel with zero transposes (static lane slices per plane).
 Hash collisions put foreign-cell points in a bucket; a per-point secondary
-cell tag (an f16-exact 11-bit hash stored alongside the position) rejects
-them at query time.
+cell tag (an 11-bit hash stored in the fourth plane) rejects them at query
+time; empty lanes carry tag -1, so the tag match doubles as the occupancy
+mask.
 Bucket overflow drops candidates — with a 0.4 m-leaf map a 1 m³ cell holds
 <= ~16 points, well under the default capacity.
+
+Both query paths score candidates in the SCALED integer domain
+(`(cand + (corner - q)/scale)²·scale²`, `scale = cell/2048`) with
+identical op order, so `query` and `query_fused` select bit-identically.
 """
 
 from __future__ import annotations
@@ -35,8 +46,11 @@ import jax.numpy as jnp
 _BIG = jnp.float32(1e10)
 
 
+_QUANT = 2048.0  # fixed-point steps per cell (int16 planes)
+
+
 class VoxelHash(NamedTuple):
-    rel: jax.Array  # (T, B, 4) f16: cell-relative position + cell tag
+    rel: jax.Array  # (T, 4, B) i16 planar: [x|y|z|tag] cell-relative
     cnt: jax.Array  # (T,) int32 points per bucket
     cell: jax.Array  # () cell size
     idx: jax.Array  # (T, B) int32 global indices into the original array
@@ -52,7 +66,7 @@ def _slot(cx, cy, cz, table_size):
 
 
 def _tag(cx, cy, cz):
-    """Secondary 11-bit cell hash, exactly representable in float16.
+    """Secondary 11-bit cell hash.
 
     Combined ADDITIVELY (not XOR): XOR-multiplicative hashes share a
     structural collision family on negation-swapped coordinate pairs with
@@ -63,7 +77,7 @@ def _tag(cx, cy, cz):
         + cz.astype(jnp.uint32) * jnp.uint32(374761393)
     )
     h = h ^ (h >> 15)
-    return (h & jnp.uint32(2047)).astype(jnp.float32)
+    return (h & jnp.uint32(2047)).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("table_size", "bucket_cap"))
@@ -84,23 +98,71 @@ def build(
     run_start = jax.lax.cummax(jnp.where(is_new, jnp.arange(M), 0))
     rank = jnp.arange(M) - run_start
     keep = (s_sorted < table_size) & (rank < bucket_cap)
-    dst = jnp.where(keep, s_sorted * bucket_cap + rank, table_size * bucket_cap)
+    # planar destination: component c of point -> slot*4B + c*B + rank
+    base = jnp.where(keep, s_sorted * (4 * bucket_cap) + rank, -1)
 
     tag = _tag(c[:, 0], c[:, 1], c[:, 2])
-    rel4 = jnp.concatenate([points - corner_of_pt, tag[:, None]], axis=1)[order]
-    rel = jnp.zeros((table_size * bucket_cap + 1, 4), jnp.float16)
-    rel = rel.at[dst].set(rel4.astype(jnp.float16), mode="drop")
+    rel_q = jnp.round(
+        (points - corner_of_pt) * (_QUANT / cell)
+    ).astype(jnp.int16)
+    rel4 = jnp.concatenate(
+        [rel_q, tag[:, None].astype(jnp.int16)], axis=1
+    )[order]
+    dst = base[:, None] + jnp.arange(4) * bucket_cap  # (M, 4); -1 rows drop
+    dst = jnp.where(base[:, None] >= 0, dst, table_size * 4 * bucket_cap)
+    flat = jnp.full(table_size * 4 * bucket_cap + 1, -1, jnp.int16)
+    flat = flat.at[dst.reshape(-1)].set(rel4.reshape(-1), mode="drop")
+    dsti = jnp.where(keep, s_sorted * bucket_cap + rank, table_size * bucket_cap)
     idx = jnp.full(table_size * bucket_cap + 1, -1, jnp.int32)
-    idx = idx.at[dst].set(order.astype(jnp.int32), mode="drop")
+    idx = idx.at[dsti].set(order.astype(jnp.int32), mode="drop")
     cnt = jnp.zeros(table_size + 1, jnp.int32).at[
         jnp.minimum(s_sorted, table_size)
     ].add(keep.astype(jnp.int32))
     return VoxelHash(
-        rel=rel[:-1].reshape(table_size, bucket_cap, 4),
+        rel=flat[:-1].reshape(table_size, 4, bucket_cap),
         cnt=cnt[:-1],
         cell=jnp.asarray(cell, points.dtype),
         idx=idx[:-1].reshape(table_size, bucket_cap),
     )
+
+
+import numpy as _np
+
+# 3x3x3 neighborhood offsets, kept as numpy so jit traces fold it into a
+# constant (a module-level jnp array created mid-trace leaks the tracer)
+_OFFS27 = _np.stack(_np.meshgrid(
+    _np.arange(-1, 2), _np.arange(-1, 2), _np.arange(-1, 2), indexing="ij",
+), -1).reshape(27, 3)
+
+
+def _offs27():
+    return jnp.asarray(_OFFS27)
+
+
+def _neighborhood(h: VoxelHash, queries: jax.Array):
+    """Shared query prologue: (Q,27) slots, wanted tags, and the SCALED
+    geometry — query positions and cell corners in fixed-point steps
+    (`p / (cell/QUANT)`), the domain both query paths score in."""
+    T = h.rel.shape[0]
+    qc = jnp.floor(queries / h.cell).astype(jnp.int32)
+    cells = qc[:, None, :] + _offs27()[None, :, :]  # (Q, 27, 3)
+    slots = _slot(cells[..., 0], cells[..., 1], cells[..., 2], T)  # (Q, 27)
+    want_tag = _tag(cells[..., 0], cells[..., 1], cells[..., 2])  # (Q, 27)
+    corner_s = cells.astype(jnp.float32) * _QUANT  # (Q, 27, 3) scaled corner
+    q_s = queries.astype(jnp.float32) * (_QUANT / h.cell)  # (Q, 3) scaled
+    return slots, want_tag, corner_s, q_s
+
+
+def _recover_idx(h: VoxelHash, slots: jax.Array, pos: jax.Array, B: int):
+    """Map flat candidate positions (j*B + rank) back to global indices.
+    Positions beyond the real candidate range (lane padding in the fused
+    kernel, selectable only when a query has < k candidates) map to -1."""
+    in_range = pos < 27 * B
+    pos = jnp.minimum(pos, 27 * B - 1)
+    j = pos // B
+    rank = pos % B
+    sel_slot = jnp.take_along_axis(slots, j, axis=1)
+    return jnp.where(in_range, h.idx[sel_slot, rank], -1)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -113,35 +175,57 @@ def query(
     approx sqdist (Q,k), <1 mm reconstruction error — recompute exact
     distances downstream from the gathered neighbors when it matters).
     Neighbors beyond the 27-cell reach report _BIG."""
-    T, B, _ = h.rel.shape
+    T, _, B = h.rel.shape
     Q = queries.shape[0]
-    qc = jnp.floor(queries / h.cell).astype(jnp.int32)
-    offs = jnp.stack(jnp.meshgrid(
-        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
-    ), -1).reshape(27, 3)
-    cells = qc[:, None, :] + offs[None, :, :]  # (Q, 27, 3)
-    slots = _slot(cells[..., 0], cells[..., 1], cells[..., 2], T)  # (Q, 27)
+    slots, want_tag, corner_s, q_s = _neighborhood(h, queries)
     # (no dedup of collided slots: the per-point cell tag partitions a
     # shared bucket between its colliding cells, and the 27 queried cells
     # are distinct, so each visit selects a disjoint subset)
-    cand_rel = h.rel[slots]  # (Q, 27, B, 4) f16 — the big gather
-    occ = jnp.arange(B)[None, None, :] < h.cnt[slots][..., None]
-    # reject collision-foreign points by the secondary cell tag; survivors
-    # belong to the queried cell, whose corner the query knows EXACTLY —
-    # no per-bucket corner storage needed (collided buckets would have an
-    # ambiguous corner anyway)
-    want_tag = _tag(cells[..., 0], cells[..., 1], cells[..., 2])  # (Q, 27)
-    occ &= cand_rel[..., 3].astype(jnp.float32) == want_tag[..., None]
-    corner = cells.astype(queries.dtype) * h.cell  # (Q, 27, 3)
-    cand_abs = cand_rel[..., :3].astype(queries.dtype) + corner[:, :, None, :]
-    d = jnp.sum((cand_abs - queries[:, None, None, :]) ** 2, axis=-1)
+    cand = h.rel[slots]  # (Q, 27, 4, B) i16 — the big gather
+    # empty lanes carry tag -1 -> the tag match is also the occupancy mask
+    occ = cand[:, :, 3, :].astype(jnp.int32) == want_tag[..., None]
+    diff = (
+        cand[:, :, :3, :].astype(jnp.float32)
+        + (corner_s - q_s[:, None, :])[:, :, :, None]
+    )
+    d = jnp.sum(diff * diff, axis=2)  # (Q, 27, B) scaled sqdist
     d = jnp.where(occ, d, _BIG)
     d = d.reshape(Q, 27 * B)
     nd, sel = jax.lax.top_k(-d, k)
-    # recover global indices with a small (Q, k) gather
-    sel_slot = jnp.take_along_axis(
-        jnp.broadcast_to(slots[:, :, None], (Q, 27, B)).reshape(Q, 27 * B), sel, axis=1
+    out_idx = _recover_idx(h, slots, sel, B)
+    scale2 = (h.cell / _QUANT) ** 2
+    # masked lanes keep the _BIG sentinel (not rescaled)
+    return out_idx, jnp.where(-nd >= _BIG, _BIG, -nd * scale2)
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def query_fused(
+    h: VoxelHash,
+    queries: jax.Array,  # (Q, 3)
+    k: int = 5,
+    interpret: bool = False,
+):
+    """`query` with the post-gather tail (dequant + tag mask + distance +
+    top-k) fused into a single Pallas VMEM kernel (`ops.pallas_knn`) —
+    same selection semantics, no HBM round trips for the candidate and
+    distance tensors. `interpret=True` runs the kernel in interpreter mode
+    (CPU tests)."""
+    from . import pallas_knn
+
+    T, _, B = h.rel.shape
+    Q = queries.shape[0]
+    slots, want_tag, corner_s, q_s = _neighborhood(h, queries)
+    cand = h.rel[slots].reshape(Q, 27 * 4 * B)  # planar rows, no transpose
+    # fold the query into the corner term: the kernel scores
+    # (cand + corner_off)² with corner_off = corner_s - q_s, the same op
+    # order as `query` -> bit-identical selection
+    corner_off = (corner_s - q_s[:, None, :]).transpose(0, 2, 1).reshape(
+        Q, 3 * 27
     )
-    sel_rank = sel % B
-    out_idx = h.idx[sel_slot, sel_rank]
-    return out_idx, -nd
+    dist_s, pos = pallas_knn.topk_tail(
+        cand, want_tag, corner_off, bucket=B, k=k, interpret=interpret,
+    )
+    out_idx = _recover_idx(h, slots, pos, B)
+    scale2 = (h.cell / _QUANT) ** 2
+    # masked lanes keep the _BIG sentinel (not rescaled)
+    return out_idx, jnp.where(dist_s >= _BIG, _BIG, dist_s * scale2)
