@@ -59,7 +59,9 @@ def main():
         caps=caps,
         # reference defaults: surroundingkeyframeAddingDistThreshold 1.0 m,
         # angle 0.2 rad, livox forced keyframe 1.0 s (`params_lidar.yaml`)
-        params=mapping.LioParams(nnRefreshEvery=2),
+        # mapRebuildEvery=8: incremental leaf-dedup map growth between full
+        # rebuilds (ATE parity tested in test_lio_incremental_map_update)
+        params=mapping.LioParams(nnRefreshEvery=2, mapRebuildEvery=8),
         loop_every_n_scans=10,
         # replay mode: ship 8 packed scans per transfer RPC — the axon
         # tunnel charges ~25 ms latency per host->device copy regardless of

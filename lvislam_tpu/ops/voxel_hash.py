@@ -130,6 +130,58 @@ import numpy as _np
 
 # 3x3x3 neighborhood offsets, kept as numpy so jit traces fold it into a
 # constant (a module-level jnp array created mid-trace leaks the tracer)
+@jax.jit
+def insert(
+    h: VoxelHash,
+    points: jax.Array,  # (N, 3) new points (world frame)
+    valid: jax.Array,  # (N,)
+    global_idx: jax.Array,  # (N,) indices these points hold in the map array
+) -> VoxelHash:
+    """Incremental scatter-insert into an existing hash — the keyframe-rate
+    alternative to a full `build` (which argsorts the whole map). N is the
+    new keyframe's cloud (~2.5k points), not the 80k-point map. Bucket
+    overflow drops points exactly like `build`."""
+    T, _, B = h.rel.shape
+    N = points.shape[0]
+    c = jnp.floor(points / h.cell).astype(jnp.int32)
+    slot = jnp.where(valid, _slot(c[:, 0], c[:, 1], c[:, 2], T), T)
+    order = jnp.argsort(slot)
+    s = slot[order]
+    is_new = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_new, jnp.arange(N), 0))
+    rank_in_batch = jnp.arange(N) - run_start
+    base = h.cnt[jnp.minimum(s, T - 1)]
+    rank = base + rank_in_batch
+    keep = (s < T) & (rank < B)
+
+    tag = _tag(c[:, 0], c[:, 1], c[:, 2])
+    rel_q = jnp.round(
+        (points - c.astype(points.dtype) * h.cell) * (_QUANT / h.cell)
+    ).astype(jnp.int16)
+    rel4 = jnp.concatenate(
+        [rel_q, tag[:, None].astype(jnp.int16)], axis=1
+    )[order]
+
+    base_dst = jnp.where(keep, s * (4 * B) + rank, T * 4 * B)
+    dst = base_dst[:, None] + jnp.arange(4) * B
+    dst = jnp.where(base_dst[:, None] < T * 4 * B, dst, T * 4 * B)
+    rel_flat = h.rel.reshape(-1)
+    rel_flat = jnp.concatenate([rel_flat, jnp.zeros(1, jnp.int16)])
+    rel_flat = rel_flat.at[dst.reshape(-1)].set(rel4.reshape(-1), mode="drop")
+
+    dsti = jnp.where(keep, s * B + rank, T * B)
+    idx_flat = jnp.concatenate([h.idx.reshape(-1), jnp.zeros(1, jnp.int32)])
+    idx_flat = idx_flat.at[dsti].set(global_idx[order], mode="drop")
+
+    cnt = h.cnt.at[s].add(keep.astype(jnp.int32), mode="drop")
+    return VoxelHash(
+        rel=rel_flat[:-1].reshape(T, 4, B),
+        cnt=cnt,
+        cell=h.cell,
+        idx=idx_flat[:-1].reshape(T, B),
+    )
+
+
 _OFFS27 = _np.stack(_np.meshgrid(
     _np.arange(-1, 2), _np.arange(-1, 2), _np.arange(-1, 2), indexing="ij",
 ), -1).reshape(27, 3)

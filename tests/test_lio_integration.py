@@ -28,7 +28,7 @@ SMALL_CAPS = mapping.LioCaps(
 )
 
 
-def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1):
+def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1, **param_overrides):
     world = syn.default_world(seed=seed)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     cfg = LioConfig(
@@ -42,6 +42,7 @@ def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1):
             keyframeAddingAngleThreshold=0.1,
             livox_keyframe_interval=0.5,
             degeneracyEigenThreshold=25.0,
+            **param_overrides,
         ),
         loop_every_n_scans=20,
         upload_batch=upload_batch,
@@ -108,3 +109,24 @@ def test_lio_determinism():
     t1 = np.stack([x for _, x in pipe1.trajectory])
     t2 = np.stack([x for _, x in pipe2.trajectory])
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_lio_incremental_map_update(lio_run):
+    """`mapRebuildEvery=4` (leaf-dedup append + hash insert between full
+    rebuilds) must track the same trajectory as the reference-exact
+    per-keyframe rebuild within mm — the map differs only by
+    first-point-wins vs centroid inside a leaf until the next rebuild."""
+    from lvislam_tpu.utils.metrics import ate_rmse
+
+    pipe_ref, _, gt = lio_run
+    pipe_inc, _, _ = run_lio(mapRebuildEvery=4)
+    gt_pos = np.stack([p for p, _ in gt])
+    est_ref = np.stack([x for _, x in pipe_ref.trajectory])[:, 3:6]
+    est_inc = np.stack([x for _, x in pipe_inc.trajectory])[:, 3:6]
+    rmse_inc = ate_rmse(est_inc, gt_pos, align=True)
+    rmse_ref = ate_rmse(est_ref, gt_pos, align=True)
+    assert rmse_inc < 0.12, f"incremental ATE {rmse_inc:.3f} m"
+    assert rmse_inc < rmse_ref + 0.03, (rmse_inc, rmse_ref)
+    # the incremental path must actually have been exercised
+    st = pipe_inc.state
+    assert int(st.map_surf_n) > 0
