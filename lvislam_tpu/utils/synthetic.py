@@ -188,6 +188,27 @@ def figure8_trajectory(scale: float = 4.0, period: float = 40.0, z_amp: float = 
     return Trajectory(pos_fn=pos, rpy_fn=rpy)
 
 
+def circle_trajectory(radius: float = 3.0, period: float = 8.0,
+                      z_amp: float = 0.1) -> Trajectory:
+    """Closed circular orbit with tangent heading: the pose at t + period is
+    IDENTICAL to the pose at t — the revisit a loop-closure test needs."""
+    w = 2 * np.pi / period
+
+    def pos(t):
+        return np.stack(
+            [radius * np.cos(w * t), radius * np.sin(w * t),
+             z_amp * np.sin(2 * w * t)],
+            axis=-1,
+        )
+
+    def rpy(t):
+        yaw = np.unwrap(np.asarray(w * t + np.pi / 2, float))
+        z = np.zeros_like(yaw)
+        return np.stack([z, z, yaw], axis=-1)
+
+    return Trajectory(pos_fn=pos, rpy_fn=rpy)
+
+
 # ---------------------------------------------------------------------------
 # Sensor streams
 # ---------------------------------------------------------------------------

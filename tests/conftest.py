@@ -32,6 +32,23 @@ def cpu_devices(n: int = 8):
     return jax.devices("cpu")[:n]
 
 
+# Fast tier: `pytest -m smoke` finishes in ~2 min on the 1-core CI box
+# (the full suite is ~20+ min of single-core XLA compiles). Modules here
+# are compile-light; `slow`-marked tests are never smoke.
+_SMOKE_MODULES = {
+    "test_lie", "test_config", "test_bag", "test_chessboard",
+    "test_voxel_hash", "test_pallas_knn", "test_scan2map", "test_native",
+    "test_capacity", "test_gps",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        mod = getattr(it.module, "__name__", "")
+        if mod in _SMOKE_MODULES and "slow" not in it.keywords:
+            it.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

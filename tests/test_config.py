@@ -8,6 +8,19 @@ import pytest
 from lvislam_tpu.core import config
 
 REF = "/root/reference/config_pkg/config"
+OWN = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_load_shipped_configs():
+    """The repo ships its own default YAMLs (`configs/`) — deployments must
+    not depend on the reference checkout being mounted."""
+    cfg = config.load_yaml(
+        lidar_yaml=os.path.join(OWN, "params_lidar.yaml"),
+        camera_yaml=os.path.join(OWN, "params_camera.yaml"),
+    )
+    assert cfg == config.SystemConfig(), (
+        "shipped configs/ must reproduce the dataclass defaults"
+    )
 
 
 @pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
