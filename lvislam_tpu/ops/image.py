@@ -16,22 +16,31 @@ import jax
 import jax.numpy as jnp
 
 
+def _axis_conv(img: jax.Array, k, axis: int) -> jax.Array:
+    """1D convolution along `axis` with edge padding, as K static shifted
+    adds — XLA fuses them into one elementwise pass. (TPU lowers 1-channel
+    `conv_general_dilated` to a pathologically slow path: a 5-tap separable
+    blur on 1024x576 measured ~15 ms as conv, ~0.1 ms as shifts.)"""
+    K = len(k)
+    pad = K // 2
+    width = [(0, 0), (0, 0)]
+    width[axis] = (pad, pad)
+    x = jnp.pad(img, width, mode="edge")
+    H, W = img.shape
+    out = None
+    for i in range(K):
+        sl = (
+            slice(i, i + H) if axis == 0 else slice(None),
+            slice(i, i + W) if axis == 1 else slice(None),
+        )
+        term = x[sl] * k[i]
+        out = term if out is None else out + term
+    return out
+
+
 def _sep_conv(img: jax.Array, k: jax.Array) -> jax.Array:
-    """Separable 2D convolution with reflect padding, (H, W) x (K,)."""
-    pad = k.shape[0] // 2
-    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[::-1][None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[::-1][None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    """Separable 2D convolution with edge padding, (H, W) x (K,)."""
+    return _axis_conv(_axis_conv(img, list(k), 0), list(k), 1)
 
 
 _GAUSS5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
@@ -51,34 +60,23 @@ def build_pyramid(img: jax.Array, levels: int):
 
 
 def scharr_gradients(img: jax.Array):
-    """Scharr 3x3 x/y gradients (OpenCV LK uses Scharr-like derivatives)."""
-    kd = jnp.array([-1.0, 0.0, 1.0], img.dtype)
-    ks = jnp.array([3.0, 10.0, 3.0], img.dtype) / 32.0
-    pad = 1
-    x = jnp.pad(img, pad, mode="edge")
-    gx = jax.lax.conv_general_dilated(
-        x[None, None], (ks[:, None] * kd[None, :])[None, None],
-        (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        x[None, None], (kd[:, None] * ks[None, :])[None, None],
-        (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    """Scharr 3x3 x/y gradients (OpenCV LK uses Scharr-like derivatives).
+
+    `_axis_conv` is cross-correlation (like `conv_general_dilated`), so the
+    derivative tap [-1, 0, 1] yields gx = img(x+1) - img(x-1), identical to
+    the previous conv formulation."""
+    kd = [-1.0, 0.0, 1.0]
+    ks = [3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0]
+    gx = _axis_conv(_axis_conv(img, ks, 0), kd, 1)
+    gy = _axis_conv(_axis_conv(img, ks, 1), kd, 0)
     return gx, gy
 
 
 def sobel_gradients(img: jax.Array):
-    kd = jnp.array([-1.0, 0.0, 1.0], img.dtype) / 2.0
-    ks = jnp.array([1.0, 2.0, 1.0], img.dtype) / 4.0
-    x = jnp.pad(img, 1, mode="edge")
-    gx = jax.lax.conv_general_dilated(
-        x[None, None], (ks[:, None] * kd[None, :])[None, None],
-        (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        x[None, None], (kd[:, None] * ks[None, :])[None, None],
-        (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
+    kd = [-0.5, 0.0, 0.5]
+    ks = [0.25, 0.5, 0.25]
+    gx = _axis_conv(_axis_conv(img, ks, 0), kd, 1)
+    gy = _axis_conv(_axis_conv(img, ks, 1), kd, 0)
     return gx, gy
 
 
@@ -131,48 +129,61 @@ def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
     """Contrast-limited adaptive histogram equalization (cv::CLAHE
     equivalent, `feature_tracker.cpp:86-92`: clipLimit 3.0, 8x8 tiles).
     Tile histograms are clipped + redistributed; per-pixel lookup bilinearly
-    interpolates the 4 surrounding tile CDFs."""
+    interpolates the 4 surrounding tile CDFs.
+
+    TPU form: the per-pixel scatter histogram and the 4-tap CDF table
+    gather (2.4M scattered taps, ~30 ms at 1024x576) are both replaced by a
+    `lax.scan` over bins — each iteration is one fused compare+reduce for
+    the histogram and one (H,T)@(T,T)@(T,W) CDF-field upsample matmul for
+    the application, all dense."""
     H, W = img.shape
     th, tw = H // tiles, W // tiles
     imgc = img[: th * tiles, : tw * tiles]
     x = jnp.clip(imgc, 0.0, 1.0) * (n_bins - 1)
-    bins = x.astype(jnp.int32)
-    tile_ids = (
-        (jnp.arange(th * tiles)[:, None] // th) * tiles
-        + (jnp.arange(tw * tiles)[None, :] // tw)
-    )
-    flat_ids = tile_ids.reshape(-1) * n_bins + bins.reshape(-1)
-    hist = jnp.zeros(tiles * tiles * n_bins, jnp.float32).at[flat_ids].add(1.0)
-    hist = hist.reshape(tiles * tiles, n_bins)
+    # int8-coded bins (b - 128) keep the 256 compare passes at 1 B/pixel
+    b8 = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+    b8t = b8.reshape(tiles, th, tiles, tw)
+
+    def hist_bin(_, b):
+        m = (b8t == (b - 128).astype(jnp.int8)).astype(jnp.float32)
+        return None, jnp.sum(m, axis=(1, 3))  # (tiles, tiles)
+
+    _, hist = jax.lax.scan(hist_bin, None, jnp.arange(n_bins))  # (B, T, T)
+    hist = hist.reshape(n_bins, tiles * tiles).T
     # clip + redistribute
     limit = clip_limit * (th * tw) / n_bins
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
     hist = jnp.minimum(hist, limit) + excess / n_bins
     cdf = jnp.cumsum(hist, axis=1)
     cdf = cdf / jnp.maximum(cdf[:, -1:], 1.0)  # (T*T, n_bins) in [0,1]
-    cdf = cdf.reshape(tiles, tiles, n_bins)
+    cdf = cdf.reshape(tiles, tiles, n_bins).transpose(2, 0, 1)  # (B, T, T)
 
-    # bilinear interpolation between tile CDFs
-    yy = (jnp.arange(H)[:, None] + 0.5) / th - 0.5
-    xx = (jnp.arange(W)[None, :] + 0.5) / tw - 0.5
-    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, tiles - 1)
-    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, tiles - 1)
-    y1 = jnp.clip(y0 + 1, 0, tiles - 1)
-    x1 = jnp.clip(x0 + 1, 0, tiles - 1)
-    fy = jnp.clip(yy - y0, 0.0, 1.0)
-    fx = jnp.clip(xx - x0, 0.0, 1.0)
-    b = jnp.clip(img, 0.0, 1.0) * (n_bins - 1)
-    bi = b.astype(jnp.int32)
-    y0b = jnp.broadcast_to(y0, (H, W))
-    y1b = jnp.broadcast_to(y1, (H, W))
-    x0b = jnp.broadcast_to(x0, (H, W))
-    x1b = jnp.broadcast_to(x1, (H, W))
-    v00 = cdf[y0b, x0b, bi]
-    v01 = cdf[y0b, x1b, bi]
-    v10 = cdf[y1b, x0b, bi]
-    v11 = cdf[y1b, x1b, bi]
-    out = (
-        v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy + v11 * fx * fy
+    # static bilinear tile-CDF upsample operators: field_b = Uy @ cdf_b @ Ux^T
+    def lerp_mat(n, t, span):
+        cc = (jnp.arange(n, dtype=jnp.float32) + 0.5) / span - 0.5
+        i0 = jnp.clip(jnp.floor(cc).astype(jnp.int32), 0, t - 1)
+        i1 = jnp.clip(i0 + 1, 0, t - 1)
+        f = jnp.clip(cc - i0, 0.0, 1.0)
+        r = jnp.arange(n)
+        return (
+            jnp.zeros((n, t), jnp.float32)
+            .at[r, i0].add(1.0 - f)
+            .at[r, i1].add(f)
+        )
+
+    Uy = lerp_mat(H, tiles, th)  # (H, T)
+    Ux = lerp_mat(W, tiles, tw)  # (W, T)
+
+    bi8 = (
+        (jnp.clip(img, 0.0, 1.0) * (n_bins - 1)).astype(jnp.int32) - 128
+    ).astype(jnp.int8)
+
+    def apply_bin(acc, args):
+        b, cdf_b = args
+        field = (Uy @ cdf_b) @ Ux.T  # (H, W) interpolated CDF at bin b
+        return acc + jnp.where(bi8 == (b - 128).astype(jnp.int8), field, 0.0), None
+
+    out, _ = jax.lax.scan(
+        apply_bin, jnp.zeros((H, W), jnp.float32), (jnp.arange(n_bins), cdf)
     )
     return out.astype(img.dtype)
