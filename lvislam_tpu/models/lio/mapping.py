@@ -121,6 +121,17 @@ class LioParams:
     # guess when no VINS odometry is available (LIO-SAM standalone feeds its
     # IMU-preintegrated odometry here; rotation still comes from the IMU)
     constantVelocityGuess: bool = True
+    # plausibility gate on the VINS guess increment (beyond the
+    # reference): a diverging VIO below its own failure thresholds (V < 30
+    # m/s) would otherwise walk the scan-match guess outside the 1 m
+    # correspondence gate and progressively corrupt the map. The gate is
+    # CONSISTENCY-based (speed-independent): the VINS per-scan delta must
+    # agree with the previous scan-match delta within a physical
+    # acceleration allowance, and rotate no faster than the gyro envelope.
+    # Rejected increments fall back to the IMU/constant-velocity guess;
+    # the VINS pose keeps being tracked so recovery is seamless.
+    vinsGuessMaxDeltaJump: float = 0.5  # m vs last scan-match delta (50 m/s^2 at 10 Hz)
+    vinsGuessMaxRotRate: float = 3.0  # rad/s
 
 
 class LioMapState(NamedTuple):
@@ -150,6 +161,10 @@ class LioMapState(NamedTuple):
     # incremental odometry chain (`publishOdometry` statics)
     incr_x6: jax.Array  # (6,) incremental odometry pose
     degenerate: jax.Array  # () bool
+    last_scan_stamp: jax.Array  # () last processed scan time (guess-gate dt)
+    last_gn_ok: jax.Array  # () bool — last scan-match was healthy (the
+    # VINS-guess consistency gate only engages then; without a working
+    # scan-match the VINS guess is the best signal available)
     # previous scan-match delta (constant-velocity guess)
     last_delta_t: jax.Array  # (3,)
     last_delta_q: jax.Array  # (4,)
@@ -209,6 +224,8 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         vins_reset_id=jnp.int32(0),
         incr_x6=jnp.zeros(6, dtype),
         degenerate=jnp.array(False),
+        last_scan_stamp=jnp.float32(-1.0),
+        last_gn_ok=jnp.array(False),
         last_delta_t=jnp.zeros(3, dtype),
         last_delta_q=lie.quat_identity(dtype),
         last_gps_pos=jnp.zeros(3, dtype),
@@ -258,17 +275,37 @@ def _update_initial_guess(state: LioMapState, scan, params: LioParams):
         return x6, state.last_vins_valid, state.last_vins_trans, state.last_vins_quat, state.vins_reset_id
 
     def later_frame(_):
-        vins_usable = odom_ok & (scan["odom_reset_id"] == state.vins_reset_id)
+        # plausibility gate (beyond the reference): a diverging VIO can
+        # emit large per-scan deltas long before its own failureDetection
+        # thresholds fire (V < 30 m/s) — an implausible increment would put
+        # the scan-match guess outside the 1 m correspondence gate and
+        # progressively corrupt the map. Gate by per-scan delta bounds and
+        # fall back to the IMU/constant-velocity guess; keep tracking the
+        # VINS pose so recovery is seamless.
+        ti_v, qi_v = lie.se3_relative(
+            state.last_vins_trans, state.last_vins_quat,
+            scan["odom_trans"], scan["odom_quat"],
+        )
+        ang_v = 2.0 * jnp.arccos(jnp.clip(jnp.abs(qi_v[0]), 0.0, 1.0))
+        dt = jnp.where(
+            state.last_scan_stamp > 0.0,
+            jnp.clip(scan["stamp"] - state.last_scan_stamp, 1e-2, 1.0),
+            jnp.float32(0.1),
+        )
+        sane = (~state.last_vins_valid) | (~state.last_gn_ok) | (
+            (jnp.linalg.norm(ti_v - state.last_delta_t)
+             < params.vinsGuessMaxDeltaJump)
+            & (ang_v < params.vinsGuessMaxRotRate * dt)
+        )
+        vins_usable = (
+            odom_ok & (scan["odom_reset_id"] == state.vins_reset_id) & sane
+        )
 
         def use_vins(_):
             def have_last(_):
                 # incremental application of the VINS delta
-                ti, qi = lie.se3_relative(
-                    state.last_vins_trans, state.last_vins_quat,
-                    scan["odom_trans"], scan["odom_quat"],
-                )
                 t0, q0 = _x6_to_tq(state.x6)
-                tn, qn = lie.se3_compose(t0, q0, ti, qi)
+                tn, qn = lie.se3_compose(t0, q0, ti_v, qi_v)
                 return _tq_to_x6(tn, qn)
 
             def no_last(_):
@@ -294,7 +331,14 @@ def _update_initial_guess(state: LioMapState, scan, params: LioParams):
                 return _tq_to_x6(tn, qn)
 
             x6 = jax.lax.cond(imu_ok & state.last_imu_valid, have_imu, lambda _: state.x6, None)
-            return x6, jnp.array(False), state.last_vins_trans, state.last_vins_quat, scan["odom_reset_id"]
+            # keep tracking the VINS pose even when its guess was rejected
+            # (gate or reset-id): the next delta rebases on fresh odometry
+            return (
+                x6, jnp.array(False),
+                jnp.where(odom_ok, scan["odom_trans"], state.last_vins_trans),
+                jnp.where(odom_ok, scan["odom_quat"], state.last_vins_quat),
+                scan["odom_reset_id"],
+            )
 
         return jax.lax.cond(vins_usable, use_vins, use_imu, None)
 
@@ -309,6 +353,7 @@ def _update_initial_guess(state: LioMapState, scan, params: LioParams):
         vins_reset_id=reset_id,
         last_imu_rpy=jnp.where(imu_ok, imu_rpy, state.last_imu_rpy),
         last_imu_valid=imu_ok | state.last_imu_valid,
+        last_scan_stamp=jnp.asarray(scan["stamp"], jnp.float32),
     )
 
 
@@ -627,7 +672,10 @@ def map_step(
         enough & have_map, run_gn, skip_gn, state.x6
     )
     x6_new = _transform_update(state, scan, params, x6_new)
-    state = state._replace(x6=x6_new, degenerate=degen)
+    state = state._replace(
+        x6=x6_new, degenerate=degen,
+        last_gn_ok=(gn_iters > 0) & (n_res >= 50) & (~degen),
+    )
 
     # incremental odometry: pure scan-match delta chain (`publishOdometry`,
     # `:1711-1746`: incrementalOdometryAffineFront^-1 * Back composed onto

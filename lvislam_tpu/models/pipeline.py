@@ -417,8 +417,10 @@ class LviSystem:
         has = jnp.any(eq, axis=0)
         inv = tab.inv_depth[slot_of]
         sf = tab.start_frame[slot_of]
+        # gather each matched feature's table row BEFORE indexing its start
+        # frame (tab caps F can differ from the tracker's N)
         obs0 = jnp.take_along_axis(
-            tab.obs, sf[:, None, None].repeat(2, -1), axis=1
+            tab.obs[slot_of], sf[:, None, None].repeat(2, -1), axis=1
         )[:, 0]
         depth0 = 1.0 / jnp.maximum(inv, 1e-6)
         pts_c = jnp.concatenate([obs0, jnp.ones((obs0.shape[0], 1))], -1) * depth0[:, None]

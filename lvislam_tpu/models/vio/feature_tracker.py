@@ -46,6 +46,10 @@ class TrackerParams:
     klt_levels: int = 3
     klt_half: int = 10
     klt_iters: int = 30
+    # per-level sampled neighborhood of the patch-resident LK (ops.klt);
+    # margin = klt_patch/2 - klt_half - 2 px bounds trackable coarse-level
+    # motion — raise for low-frame-rate / fast-rotation rigs
+    klt_patch: int = 32
     min_track_for_F: int = 8
 
 
@@ -103,6 +107,7 @@ def tracker_step(
     res = klt.track(
         state.prev_img, img, state.pts, occupied & state.initialized,
         levels=params.klt_levels, half=params.klt_half, iters=params.klt_iters,
+        patch=params.klt_patch,
     )
     pts = res.pts
     tracked = res.status

@@ -200,7 +200,7 @@ def _track_level(
     return pts, ok0 & inb & in_patch, err
 
 
-@partial(jax.jit, static_argnames=("levels", "half", "iters"))
+@partial(jax.jit, static_argnames=("levels", "half", "iters", "patch"))
 def track(
     prev_img: jax.Array,  # (H, W) float
     next_img: jax.Array,
@@ -209,8 +209,13 @@ def track(
     levels: int = 3,
     half: int = 10,  # 21x21 window
     iters: int = 30,
+    patch: int = 32,  # S: per-level sampled neighborhood; margin = S/2-half-2
 ) -> KLTResult:
-    """Pyramidal LK: coarse-to-fine over `levels`+1 images."""
+    """Pyramidal LK: coarse-to-fine over `levels`+1 images.
+
+    `patch` bounds the per-level trackable displacement (margin =
+    patch/2 - half - 2 px at the COARSEST level; larger inter-frame motion
+    needs a bigger patch or more levels)."""
     prev_pyr = imops.build_pyramid(prev_img, levels)
     next_pyr = imops.build_pyramid(next_img, levels)
 
@@ -222,7 +227,8 @@ def track(
         s = 2.0**lvl
         p_lvl = prev_pts / s
         pts, ok, err = _track_level(
-            prev_pyr[lvl], next_pyr[lvl], p_lvl, pts, status, half, iters
+            prev_pyr[lvl], next_pyr[lvl], p_lvl, pts, status, half, iters,
+            S=patch,
         )
         status = ok
         if lvl > 0:

