@@ -50,6 +50,13 @@ class BAConfig:
     estimate_extrinsic: bool = False
     cauchy_c: float = 1.0  # CauchyLoss(1.0) on projection factors
     # (`estimator.cpp:705` loss_function = new ceres::CauchyLoss(1.0))
+    # "qr": augmented-QR LM step (numerically safest). "cholesky": damped
+    # normal equations with Jacobi column equilibration — ~4x faster on TPU
+    # (jnp.linalg.qr is row-panel-bound there) and what the reference's
+    # Ceres effectively does, in f32 here; the VINS noise weights span a
+    # mild dynamic range so the equilibrated Gram matrix stays
+    # well-conditioned (solver parity is tested).
+    solver: str = "qr"
 
     @property
     def d_state(self) -> int:
@@ -320,16 +327,27 @@ def solve(
 
         r = res(jnp.zeros(D, ws.Ps.dtype))
         J = jax.jacfwd(res)(jnp.zeros(D, ws.Ps.dtype))
-        # LM damping rows: sqrt(lam)*diag-scale per column, via augmented QR
         col = jnp.linalg.norm(J, axis=0) + 1e-6
-        A = jnp.concatenate(
-            [J, jnp.sqrt(lam) * jnp.diag(col)], axis=0
-        )
-        b = jnp.concatenate([-r, jnp.zeros(D, ws.Ps.dtype)])
-        Q, R = jnp.linalg.qr(A)
-        d = jax.scipy.linalg.solve_triangular(
-            R + 1e-8 * jnp.eye(D, dtype=ws.Ps.dtype), Q.T @ b, lower=False
-        )
+        if cfg.solver == "cholesky":
+            # damped normal equations, Jacobi-equilibrated: with column
+            # scaling S = diag(1/col), solve (S J^T J S + lam I) y = S J^T b
+            s = 1.0 / col
+            Js = J * s[None, :]
+            H = Js.T @ Js + lam * jnp.eye(D, dtype=ws.Ps.dtype)
+            g = Js.T @ (-r)
+            L = jnp.linalg.cholesky(H + 1e-7 * jnp.eye(D, dtype=ws.Ps.dtype))
+            y = jax.scipy.linalg.cho_solve((L, True), g)
+            d = s * y
+        else:
+            # LM damping rows: sqrt(lam)*diag-scale per column, augmented QR
+            A = jnp.concatenate(
+                [J, jnp.sqrt(lam) * jnp.diag(col)], axis=0
+            )
+            b = jnp.concatenate([-r, jnp.zeros(D, ws.Ps.dtype)])
+            Q, R = jnp.linalg.qr(A)
+            d = jax.scipy.linalg.solve_triangular(
+                R + 1e-8 * jnp.eye(D, dtype=ws.Ps.dtype), Q.T @ b, lower=False
+            )
         ws2 = _retract_window(ws, d[: cfg.d_state], cfg)
         inv2 = inv_depth + jnp.where(lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :])
         new_cost, _ = eval_cost(ws2, inv2)

@@ -151,3 +151,31 @@ def test_marginal_matches_minimized_full_cost(rng):
         assert abs(prior_cost - min_cost) < 0.05 * max(min_cost, 1e-3) + 1e-4, (
             trial, prior_cost, min_cost
         )
+
+
+def test_solver_parity_cholesky_vs_qr():
+    """The damped-normal-equation path must reproduce the augmented-QR LM
+    step (same damping: lam*diag(col^2)) on a consistent window."""
+    import dataclasses
+
+    caps, cfg, ws, pints, table, G = build_consistent_window(W=6, F=64, seed=3)
+    feat_valid = table.ids >= 0
+    fv = jnp.ones(cfg.window + 1, bool)
+    prior = ba.empty_prior(cfg)
+    # perturb so the solvers have real work to do
+    ws_p = ws._replace(Ps=ws.Ps + 0.03, Vs=ws.Vs + 0.05)
+
+    outs = {}
+    for solver in ("qr", "cholesky"):
+        cfg_s = dataclasses.replace(cfg, solver=solver, iterations=5)
+        res = ba.solve(
+            ws_p, table.inv_depth, table.obs, table.vel, table.obs_valid,
+            table.start_frame, feat_valid, table.lidar_flag, pints, fv,
+            prior, G, jnp.float32(0.0), cfg_s,
+        )
+        outs[solver] = res
+    np.testing.assert_allclose(
+        np.asarray(outs["cholesky"].ws.Ps), np.asarray(outs["qr"].ws.Ps),
+        atol=2e-3,
+    )
+    assert float(outs["cholesky"].final_cost) < float(outs["qr"].final_cost) * 1.2
