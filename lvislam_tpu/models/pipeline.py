@@ -66,6 +66,12 @@ class LviConfig:
     # `rolling_shutter_tr`; 0 = global shutter — the shipped rig's value)
     rolling_shutter_tr: float = 0.0
     metrics_path: str | None = None  # JSONL per-stage metrics (SURVEY.md §5)
+    # debug observability (V16): when set, drop feature/depth overlay PPMs
+    # every `debug_every` frames and a match image per visual loop
+    # (`utils.debugviz` — the reference's feature_img / depth_image /
+    # match_image topics as files)
+    debug_dir: str | None = None
+    debug_every: int = 10
 
 
 class LviSystem:
@@ -84,6 +90,7 @@ class LviSystem:
             qic=jnp.array(cfg.qic, jnp.float32),
         ))
         self.loop_db = ld.db_init(cfg.loop_caps)
+        self._dbg_kf_imgs: dict = {}  # debug_dir: slot -> u8 image
 
         # host-side buffers
         self.imu_times: list[float] = []
@@ -340,6 +347,22 @@ class LviSystem:
                 reset_id=int(self.vio.failure_count),
             )
 
+        if cfg.debug_dir and self.vio_frames % cfg.debug_every == 0:
+            from ..utils import debugviz as dv
+
+            im = np.asarray(img)
+            dv.save_ppm(
+                f"{cfg.debug_dir}/feature_{self.vio_frames:05d}.ppm",
+                dv.draw_tracks(im, np.asarray(tout.uv), np.asarray(tout.valid),
+                               np.asarray(self.tracker.track_cnt)),
+            )
+            if cfg.use_lidar_depth:
+                dv.save_ppm(
+                    f"{cfg.debug_dir}/depth_{self.vio_frames:05d}.ppm",
+                    dv.draw_depth_overlay(im, np.asarray(tout.uv), depth,
+                                          np.asarray(tout.valid)),
+                )
+
         # exchange 4: loop detection on VIO keyframes
         if (
             cfg.use_loop_detector
@@ -437,7 +460,34 @@ class LviSystem:
             focal=float(cfg.camera.gamma1),
             center=jnp.array([cfg.camera.u0, cfg.camera.v0], jnp.float32),
         )
+        if cfg.debug_dir:
+            # host-side u8 image ring mirroring the DB slots, for the loop
+            # match_image artifact (the DB itself stores descriptors only)
+            slot = int(cand.cur_index) % cfg.loop_caps.max_keyframes
+            self._dbg_kf_imgs[slot] = np.clip(
+                np.asarray(img) * 255.0, 0, 255
+            ).astype(np.uint8)
         if bool(np.asarray(cand.found)):
+            if cfg.debug_dir:
+                from ..utils import debugviz as dv
+
+                old_img = self._dbg_kf_imgs.get(int(cand.old_index))
+                if old_img is not None:
+                    old_uv = (
+                        np.asarray(self.loop_db.kp_norm[int(cand.old_index)])
+                        * float(cfg.camera.gamma1)
+                        + np.array([cfg.camera.u0, cfg.camera.v0])
+                    )
+                    dv.save_ppm(
+                        f"{cfg.debug_dir}/loop_match_{self.vio_frames:05d}.ppm",
+                        dv.draw_matches(
+                            old_img, np.asarray(img), old_uv,
+                            np.asarray(tout.uv),
+                            np.asarray(self.loop_db.kp_valid[int(cand.old_index)])[
+                                : tout.uv.shape[0]
+                            ],
+                        ),
+                    )
             t_cur = stamp
             t_old = float(self.loop_db.stamps[int(cand.old_index)])
             self._external_loop(t_cur, t_old)

@@ -1,0 +1,56 @@
+"""Debug-image observability (V16 counterpart): PPM writers + overlay
+rasterizers produce valid artifacts, and the pipeline drops them when
+`debug_dir` is set."""
+
+import os
+
+import numpy as np
+
+from lvislam_tpu.utils import debugviz as dv
+
+
+def _read_ppm(path):
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        w, h = map(int, f.readline().split())
+        maxv = int(f.readline())
+        data = np.frombuffer(f.read(), np.uint8)
+    ch = 3 if magic == b"P6" else 1
+    return data.reshape(h, w, ch) if ch == 3 else data.reshape(h, w)
+
+
+def test_ppm_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    gray = rng.random((32, 48)).astype(np.float32)
+    p = str(tmp_path / "g.pgm")
+    dv.save_ppm(p, gray)
+    back = _read_ppm(p)
+    assert back.shape == (32, 48)
+    np.testing.assert_allclose(back / 255.0, gray, atol=1 / 255.0 + 1e-6)
+
+    rgb = rng.random((16, 20, 3)).astype(np.float32)
+    p2 = str(tmp_path / "c.ppm")
+    dv.save_ppm(p2, rgb)
+    back2 = _read_ppm(p2)
+    assert back2.shape == (16, 20, 3)
+
+
+def test_overlays_render(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.random((60, 80)).astype(np.float32)
+    uv = rng.uniform(5, 70, (10, 2)).astype(np.float32)
+    valid = np.ones(10, bool)
+
+    tr = dv.draw_tracks(img, uv, valid, track_cnt=np.arange(10) * 3,
+                        uv_prev=uv - 2.0)
+    assert tr.shape == (60, 80, 3)
+    # crosses actually drawn: some pixels differ from the gray base
+    assert (np.abs(tr[..., 0] - tr[..., 2]) > 0.1).any()
+
+    m = dv.draw_matches(img, img, uv, uv + 1.0, valid)
+    assert m.shape == (60, 160, 3)
+
+    d = dv.draw_depth_overlay(img, uv, np.linspace(-1, 15, 10), valid)
+    assert d.shape == (60, 80, 3)
+    dv.save_ppm(str(tmp_path / "t.ppm"), tr)
+    assert os.path.getsize(str(tmp_path / "t.ppm")) > 100
