@@ -18,6 +18,7 @@ auxiliary sections (vio/full-LVI/parity) ride along as extra keys.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -95,12 +96,13 @@ def _make_cfg(mapping, pallas):
         # angle 0.2 rad, livox forced keyframe 1.0 s (`params_lidar.yaml`)
         # mapRebuildEvery=8: incremental leaf-dedup map growth between full
         # rebuilds (ATE parity tested in test_lio_incremental_map_update)
-        params=mapping.LioParams(nnRefreshEvery=2, mapRebuildEvery=8),
+        params=mapping.LioParams(nnRefreshEvery=2, mapRebuildEvery=8,
+                                 gatherOncePerScan=pallas),
         loop_every_n_scans=10,
         # replay mode: ship 8 packed scans per transfer RPC — the axon
         # tunnel charges ~25 ms latency per host->device copy regardless of
         # size, which otherwise caps the loop at ~27 ms/scan
-        upload_batch=8,
+        upload_batch=int(os.environ.get("BENCH_UPLOAD_BATCH", "8")),
     )
 
 

@@ -107,6 +107,12 @@ class LioParams:
     degeneracyEigenThreshold: float = 100.0
     # correspondence re-search interval inside the GN loop (1 = reference)
     nnRefreshEvery: int = 1
+    # gather each query's 27-cell candidate neighborhood once per scan and
+    # re-score it every GN iteration (requires caps.pallas_knn; see
+    # scan2map.scan_to_map_hashed(gather_once=...)) — removes the
+    # HBM-latency-bound row gather from the GN loop entirely while keeping
+    # per-iteration-fresh correspondences
+    gatherOncePerScan: bool = False
     # full local-map rebuild interval in keyframes. 1 = the reference's
     # per-keyframe extractNearby/extractCloud re-downsample. >1 switches to
     # incremental updates: the new keyframe's cloud is leaf-deduped against
@@ -662,6 +668,7 @@ def map_step(
             eigen_thresh=params.degeneracyEigenThreshold,
             nn_refresh_every=params.nnRefreshEvery,
             use_pallas=caps.pallas_knn,
+            gather_once=params.gatherOncePerScan and caps.pallas_knn,
         )
         return st.x6, st.degenerate, st.num_residuals, st.it
 

@@ -259,7 +259,9 @@ def gn_update(
     return new_x, converged, proj, degen, n_res
 
 
-@partial(jax.jit, static_argnames=("max_iters", "nn_refresh_every", "use_pallas"))
+@partial(jax.jit, static_argnames=(
+    "max_iters", "nn_refresh_every", "use_pallas", "gather_once",
+    "pallas_interpret"))
 def scan_to_map_hashed(
     x6_init: jax.Array,  # (6,) initial guess [r, p, y, tx, ty, tz]
     corner_pts: jax.Array,  # (C, 3) scan edge features (lidar frame)
@@ -274,6 +276,8 @@ def scan_to_map_hashed(
     eigen_thresh: float = 100.0,
     nn_refresh_every: int = 1,
     use_pallas: bool = False,
+    gather_once: bool = False,
+    pallas_interpret: bool = False,  # CPU tests: interpret-mode kernels
 ) -> "GNState":
     """`scan_to_map` with the voxel-hash gated 5-NN (`ops.voxel_hash`):
     exact for every correspondence inside the 1 m acceptance gate, O(27·B)
@@ -287,13 +291,36 @@ def scan_to_map_hashed(
     exact-distance recompute in the coeff stage still gates stale pairs).
 
     `use_pallas`: run the post-gather query tail as the fused Pallas VMEM
-    kernel (`ops.pallas_knn`) — TPU only; identical selection semantics."""
+    kernel (`ops.pallas_knn`) — TPU only; identical selection semantics.
+
+    `gather_once` (requires `use_pallas`): fetch each query's 27-cell
+    candidate neighborhood ONCE at the initial pose and re-SCORE it every
+    iteration — the HBM-latency-bound row gather (the dominant query cost)
+    leaves the GN loop entirely, and correspondences refresh EVERY
+    iteration (fresher than `nn_refresh_every > 1` staleness). Exact for
+    queries that stay inside their gather-time 1 m cell; the
+    boundary-crossing fraction (scales with the pose correction, mm-cm
+    for warm starts) may miss edge-of-box candidates, which the
+    exact-distance recompute in the coefficient stage still gates."""
     from . import voxel_hash as vh
 
-    q_fn = (partial(vh.query_fused) if use_pallas else vh.query)
+    q_fn = (
+        partial(vh.query_fused, interpret=pallas_interpret)
+        if use_pallas else vh.query
+    )
+    if gather_once:
+        assert use_pallas, "gather_once requires the Pallas query tail"
 
     C = corner_pts.shape[0]
     S = surf_pts.shape[0]
+
+    if gather_once:
+        t0 = x6_init[3:6]
+        Rm0 = lie.ypr_to_matrix(
+            jnp.stack([x6_init[2], x6_init[1], x6_init[0]]) * (180.0 / jnp.pi)
+        )
+        g_corner = vh.query_gather(corner_hash, corner_pts @ Rm0.T + t0)
+        g_surf = vh.query_gather(surf_hash, surf_pts @ Rm0.T + t0)
 
     def cond(carry):
         st = carry[0]
@@ -308,15 +335,23 @@ def scan_to_map_hashed(
         cw = corner_pts @ Rm.T + t
         sw = surf_pts @ Rm.T + t
 
-        def refresh(_):
-            ci2, cd2 = q_fn(corner_hash, cw, 5)
-            si2, sd2 = q_fn(surf_hash, sw, 5)
-            return ci2, cd2, si2, sd2
+        if gather_once:
+            # re-score the cached neighborhoods at the current pose —
+            # fresh correspondences every iteration, zero gathers
+            ci, cd = vh.query_score(corner_hash, g_corner, cw, 5,
+                                    interpret=pallas_interpret)
+            si, sd = vh.query_score(surf_hash, g_surf, sw, 5,
+                                    interpret=pallas_interpret)
+        else:
+            def refresh(_):
+                ci2, cd2 = q_fn(corner_hash, cw, 5)
+                si2, sd2 = q_fn(surf_hash, sw, 5)
+                return ci2, cd2, si2, sd2
 
-        do = (st.it % nn_refresh_every) == 0
-        ci, cd, si, sd = jax.lax.cond(
-            do, refresh, lambda _: (ci, cd, si, sd), None
-        )
+            do = (st.it % nn_refresh_every) == 0
+            ci, cd, si, sd = jax.lax.cond(
+                do, refresh, lambda _: (ci, cd, si, sd), None
+            )
         cc = corner_coeffs(cw, corner_valid, map_corner, ci, cd)
         sc = surf_coeffs(sw, surf_pts, surf_valid, map_surf, si, sd)
         coeffs = Coeffs(

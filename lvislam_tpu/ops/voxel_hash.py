@@ -128,8 +128,7 @@ def build(
 
 import numpy as _np
 
-# 3x3x3 neighborhood offsets, kept as numpy so jit traces fold it into a
-# constant (a module-level jnp array created mid-trace leaks the tracer)
+
 @jax.jit
 def insert(
     h: VoxelHash,
@@ -182,6 +181,8 @@ def insert(
     )
 
 
+# 3x3x3 neighborhood offsets, kept as numpy so jit traces fold it into a
+# constant (a module-level jnp array created mid-trace leaks the tracer)
 _OFFS27 = _np.stack(_np.meshgrid(
     _np.arange(-1, 2), _np.arange(-1, 2), _np.arange(-1, 2), indexing="ij",
 ), -1).reshape(27, 3)
@@ -250,6 +251,66 @@ def query(
     return out_idx, jnp.where(-nd >= _BIG, _BIG, -nd * scale2)
 
 
+class GatheredCandidates(NamedTuple):
+    """One (Q, 27)-neighborhood gather, reusable across GN iterations.
+
+    Re-scoring against the cached 27-cell box is EXACT while the query
+    stays inside its gather-time cell; a query that crosses a cell
+    boundary loses the gate-region sliver beyond the cached box (up to its
+    displacement). Warm-started scan-match iterations move queries mm-cm,
+    so only the boundary-adjacent fraction is affected, and the
+    coefficient stage's exact-distance recompute still gates every
+    accepted pair — while the HBM-latency-bound row gather (the dominant
+    query cost) leaves the loop entirely."""
+
+    slots: jax.Array  # (Q, 27)
+    want_tag: jax.Array  # (Q, 27)
+    corner_s: jax.Array  # (Q, 27, 3) scaled cell corners (cells are FIXED)
+    cand: jax.Array  # (Q, 27*4*B) planar rows
+
+
+@jax.jit
+def query_gather(h: VoxelHash, queries: jax.Array) -> GatheredCandidates:
+    """The gather half of `query_fused`: fetch the (Q, 27) neighborhood
+    bucket rows once, for repeated re-scoring at updated query positions."""
+    T, _, B = h.rel.shape
+    Q = queries.shape[0]
+    slots, want_tag, corner_s, _ = _neighborhood(h, queries)
+    cand = h.rel[slots].reshape(Q, 27 * 4 * B)
+    return GatheredCandidates(
+        slots=slots, want_tag=want_tag, corner_s=corner_s, cand=cand
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def query_score(
+    h: VoxelHash,
+    g: GatheredCandidates,
+    queries: jax.Array,  # (Q, 3) CURRENT query positions
+    k: int = 5,
+    interpret: bool = False,
+):
+    """Score cached candidates against updated query positions (the
+    Pallas fused tail). Exact for queries still inside their gather-time
+    cell; boundary-crossers may miss edge-of-box candidates (the
+    downstream exact-distance recompute still gates)."""
+    from . import pallas_knn
+
+    T, _, B = h.rel.shape
+    Q = queries.shape[0]
+    q_s = queries.astype(jnp.float32) * (_QUANT / h.cell)
+    corner_off = (g.corner_s - q_s[:, None, :]).transpose(0, 2, 1).reshape(
+        Q, 3 * 27
+    )
+    dist_s, pos = pallas_knn.topk_tail(
+        g.cand, g.want_tag, corner_off, bucket=B, k=k, interpret=interpret,
+    )
+    out_idx = _recover_idx(h, g.slots, pos, B)
+    scale2 = (h.cell / _QUANT) ** 2
+    # masked lanes keep the _BIG sentinel (not rescaled)
+    return out_idx, jnp.where(dist_s >= _BIG, _BIG, dist_s * scale2)
+
+
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def query_fused(
     h: VoxelHash,
@@ -262,22 +323,5 @@ def query_fused(
     same selection semantics, no HBM round trips for the candidate and
     distance tensors. `interpret=True` runs the kernel in interpreter mode
     (CPU tests)."""
-    from . import pallas_knn
-
-    T, _, B = h.rel.shape
-    Q = queries.shape[0]
-    slots, want_tag, corner_s, q_s = _neighborhood(h, queries)
-    cand = h.rel[slots].reshape(Q, 27 * 4 * B)  # planar rows, no transpose
-    # fold the query into the corner term: the kernel scores
-    # (cand + corner_off)² with corner_off = corner_s - q_s, the same op
-    # order as `query` -> bit-identical selection
-    corner_off = (corner_s - q_s[:, None, :]).transpose(0, 2, 1).reshape(
-        Q, 3 * 27
-    )
-    dist_s, pos = pallas_knn.topk_tail(
-        cand, want_tag, corner_off, bucket=B, k=k, interpret=interpret,
-    )
-    out_idx = _recover_idx(h, slots, pos, B)
-    scale2 = (h.cell / _QUANT) ** 2
-    # masked lanes keep the _BIG sentinel (not rescaled)
-    return out_idx, jnp.where(dist_s >= _BIG, _BIG, dist_s * scale2)
+    return query_score(h, query_gather(h, queries), queries, k=k,
+                       interpret=interpret)
