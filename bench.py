@@ -96,8 +96,11 @@ def _make_cfg(mapping, pallas):
         # angle 0.2 rad, livox forced keyframe 1.0 s (`params_lidar.yaml`)
         # mapRebuildEvery=8: incremental leaf-dedup map growth between full
         # rebuilds (ATE parity tested in test_lio_incremental_map_update)
+        # gatherOncePerScan measured SLOWER warm (17.1 vs 15.9 ms/scan with
+        # the v2 kernel): the per-iteration re-score tail costs more than the
+        # re-gather it saves. Kept as an option; off on the bench path.
         params=mapping.LioParams(nnRefreshEvery=2, mapRebuildEvery=8,
-                                 gatherOncePerScan=pallas),
+                                 gatherOncePerScan=False),
         loop_every_n_scans=10,
         # replay mode: ship 8 packed scans per transfer RPC — the axon
         # tunnel charges ~25 ms latency per host->device copy regardless of

@@ -7,25 +7,29 @@ reconstruct candidate offsets against each cell corner, mask
 collision-foreign points by tag, squared distances, top-5. The XLA tail
 materializes (Q, 27, 4, B) f32 candidates plus a (Q, 27·B) distance
 tensor in HBM between fusions (~3 round trips of ~7 MB) and runs a
-generic `top_k`; measured 0.62-0.64 ms at surf shapes (Q=2048, B=16) —
-~10x off bandwidth speed-of-light.
+generic `top_k`.
 
-This kernel fuses the whole tail in VMEM: the gathered block streams in
-once, distances live in a VMEM scratch, and top-k is k vectorized
-min/argmin passes (profiled faster than `top_k` at this width: 0.618 vs
-0.644 ms even in XLA). Layout contract with `voxel_hash.build`: bucket
-rows are COMPONENT-PLANAR int16 `[B·x | B·y | B·z | B·tag]` (the Mosaic
-TPU dialect rejects f16), so every plane is a static lane slice — zero
-in-kernel transposes or strided loads. Geometry arrives pre-scaled to
-fixed-point steps with the query already folded into the corner offset,
-so the kernel is pure `(cand + off)²` + tag mask + top-k; the caller
-rescales distances to meters². Empty lanes carry tag -1 and are rejected
-by the tag match (no separate occupancy input).
+Kernel design (v2 — full-width, zero narrow slices): the gathered block
+keeps its natural planar layout `27 x [B·x | B·y | B·z | B·tag]` and the
+caller pre-expands a matching f32 ADDEND laneplan: x/y/z lanes hold
+`corner_component - query_component` (scaled), tag lanes hold the NEGATED
+wanted tag. The kernel is then pure full-width VPU work:
+
+    S  = cand.f32 + addend            # per-lane offsets; tag lanes: 0 iff match
+    sq = S*S
+    d  = sq + roll(sq, -B) + roll(sq, -2B)   # x²+y²+z² lands on x-lanes
+    ok = roll(S == 0, -3B)                   # tag match lands on x-lanes
+    top-5 = five min/argmin passes over the x-lane-masked distances
+
+Per-lane j-slicing (the v1 kernel) made Mosaic relayout every 64-lane
+unaligned slice — 0.97 ms/call; v2 is a handful of full-width passes.
+Tie order (lane-ascending) maps to the same (cell, rank) lexicographic
+order as `jax.lax.top_k` over the flat candidate axis.
 
 Reference behavior covered: `mapOptimization.cpp:1016-1022` (PCL
 `nearestKSearch` 5-NN inside `cornerOptimization`/`surfOptimization`);
-selection semantics identical to `voxel_hash.query` (identical op order
-in the scaled domain -> bit-identical top-k).
+selection semantics identical to `voxel_hash.query` (identical f32 op
+order in the scaled domain -> bit-identical top-k).
 """
 
 from __future__ import annotations
@@ -42,36 +46,23 @@ _SPENT = 1e30  # already-selected sentinel, strictly above _BIG
 _N_OFF = 27  # 3x3x3 cell neighborhood
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _tail_kernel(cand_ref, tag_ref, corner_ref, dist_ref, pos_ref,
-                 d_scr, *, bucket: int, k: int):
-    """One query block.
-
-    cand (G, 27*4B) i16: 27 planar bucket rows [Bx|By|Bz|Btag];
-    tag (G, 32) i32: wanted cell tag per offset (27 used);
-    corner (G, 128) f32: planar scaled corner-minus-query offsets
-    [27cx|27cy|27cz] (81 used).
-    Outputs dist (G, k) f32 scaled sqdist, pos (G, k) int32 (j*B + rank).
-    d_scr (G, Cpad) f32 scratch holds all 27*B candidate distances."""
+def _tail_kernel(cand_ref, addend_ref, dist_ref, pos_ref, *, bucket: int,
+                 k: int):
+    """One query block: cand (G, 27*4B) i16 planar bucket rows,
+    addend (G, 27*4B) f32 laneplan. Outputs dist (G, k) f32 scaled sqdist
+    and pos (G, k) int32 LANE index (j*4B + rank)."""
     B = bucket
-    d_scr[:] = jnp.full_like(d_scr[:], _BIG)
-    for j in range(_N_OFF):
-        s = cand_ref[:, j * 4 * B:(j + 1) * 4 * B]  # (G, 4B) i16
-        cx = corner_ref[:, j:j + 1]
-        cy = corner_ref[:, _N_OFF + j:_N_OFF + j + 1]
-        cz = corner_ref[:, 2 * _N_OFF + j:2 * _N_OFF + j + 1]
-        dx = s[:, 0 * B:1 * B].astype(jnp.float32) + cx
-        dy = s[:, 1 * B:2 * B].astype(jnp.float32) + cy
-        dz = s[:, 2 * B:3 * B].astype(jnp.float32) + cz
-        d = dx * dx + dy * dy + dz * dz
-        ok = s[:, 3 * B:4 * B].astype(jnp.int32) == tag_ref[:, j:j + 1]
-        d_scr[:, j * B:(j + 1) * B] = jnp.where(ok, d, _BIG)
-
-    d = d_scr[:]
+    L = _N_OFF * 4 * B
+    S = cand_ref[:].astype(jnp.float32) + addend_ref[:]
+    sq = S * S
+    # pltpu.roll takes non-negative shifts: out[l] = in[(l - shift) % L],
+    # so pulling lane l+s down to l is shift = L - s
+    d = sq + pltpu.roll(sq, L - B, 1) + pltpu.roll(sq, L - 2 * B, 1)
+    ok = pltpu.roll(jnp.where(S == 0.0, 1.0, 0.0), L - 3 * B, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    is_x = (lane % (4 * B)) < B
+    d = jnp.where((ok > 0.5) & is_x, d, _BIG)
+
     for t in range(k):
         m = jnp.min(d, axis=1, keepdims=True)  # (G, 1)
         # first lane achieving the min (matches top_k tie order: equal
@@ -99,27 +90,32 @@ def topk_tail(
     Returns (scaled sqdist (Q,k) f32, flat position (Q,k) int32 j*B+rank)."""
     Q = cand.shape[0]
     B = bucket
+    # laneplan addend: per cell j, [B x-off | B y-off | B z-off | B -tag]
+    per_j = jnp.stack(
+        [
+            corner_off[:, 0 * _N_OFF:1 * _N_OFF],
+            corner_off[:, 1 * _N_OFF:2 * _N_OFF],
+            corner_off[:, 2 * _N_OFF:3 * _N_OFF],
+            -want_tag.astype(jnp.float32),
+        ],
+        axis=2,
+    )  # (Q, 27, 4)
+    addend = jnp.repeat(per_j, B, axis=2).reshape(Q, _N_OFF * 4 * B)
+
     pad = (-Q) % block_q
     if pad:
         cand = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
-        want_tag = jnp.pad(want_tag, ((0, pad), (0, 0)))
-        corner_off = jnp.pad(corner_off, ((0, pad), (0, 0)))
+        addend = jnp.pad(addend, ((0, pad), (0, 0)))
     Qp = Q + pad
-    # lane-pad the small per-query inputs to full vregs
-    tag_p = jnp.pad(want_tag, ((0, 0), (0, 32 - _N_OFF)))
-    corner_p = jnp.pad(corner_off, ((0, 0), (0, 128 - 3 * _N_OFF)))
-    c_pad = _round_up(_N_OFF * B, 128)
 
     grid = Qp // block_q
-    dist, pos = pl.pallas_call(
+    dist, lane_pos = pl.pallas_call(
         partial(_tail_kernel, bucket=B, k=k),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block_q, _N_OFF * 4 * B), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 32), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, 128), lambda i: (i, 0),
+            pl.BlockSpec((block_q, _N_OFF * 4 * B), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -132,8 +128,11 @@ def topk_tail(
             jax.ShapeDtypeStruct((Qp, k), jnp.float32),
             jax.ShapeDtypeStruct((Qp, k), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((block_q, c_pad), jnp.float32)],
         interpret=interpret,
-    )(cand, tag_p, corner_p)
+    )(cand, addend)
 
+    # lane index (j*4B + rank, rank < B by construction) -> flat j*B + rank
+    j = lane_pos // (4 * B)
+    rank = lane_pos % (4 * B)
+    pos = j * B + jnp.minimum(rank, B - 1)
     return dist[:Q], pos[:Q]
