@@ -12,8 +12,10 @@ LMOptimization / scan2MapOptimization):
   this removes the kd-tree-approximation risk called out in SURVEY.md §7(a).
 - Corner line fit: batched 3x3 eigendecomposition of the 5-neighbor
   covariance, validity lambda_max > 3 lambda_2 (`mapOptimization.cpp:1051`).
-- Surf plane fit: batched least squares A x = -1 via 3x3 normal equations,
-  planarity gate 0.2 m (`mapOptimization.cpp:1138-1147`).
+- Surf plane fit: the reference's regularized A x = -1 algebraic fit,
+  computed f32-stably and branch-free via the centered scatter's eigenbasis
+  (see `smallmat.plane_fit`), planarity gate 0.2 m
+  (`mapOptimization.cpp:1138-1147`).
 - Robust weights s = 1 - 0.9|d| (corner), s = 1 - 0.9|d|/sqrt(sqrt(range))
   (surf); keep if s > 0.1 (`:1086-1094, 1149-1164`).
 - 6-DoF normal equations with the reference's degeneracy guard: eigenvalues
@@ -162,15 +164,13 @@ def surf_coeffs(
     )
     nn_sqdist = jnp.sort(d_exact, axis=1)
     ok = pts_valid & (nn_sqdist[:, 4] < 1.0) & jnp.all(has, axis=1)
-    # plane: solve nbrs @ x = -1  (x = n/d), 3x3 normal equations
-    AtA = jnp.einsum("nki,nkj->nij", nbrs, nbrs)
-    Atb = -jnp.sum(nbrs, axis=1)
-    # regularize tiny to keep solve finite for degenerate neighborhoods
-    AtA = AtA + 1e-8 * jnp.eye(3)
-    x = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
-    ps = jnp.linalg.norm(x, axis=-1)
-    n = x / jnp.maximum(ps, 1e-12)[:, None]
-    d0 = 1.0 / jnp.maximum(ps, 1e-12)
+    # plane fit (reference solves nbrs @ x = -1, x = n/d,
+    # `mapOptimization.cpp:1118-1134`): same regularized algebraic fit,
+    # computed stably in closed form — batched jnp.linalg.solve on the 3x3
+    # normal equations lowers to a pivoted-LU loop on TPU (~1.7 ms at
+    # N=2048 per GN iteration, the single hottest op in the solve). See
+    # smallmat.plane_fit for the numerics (and why NOT a TLS fit).
+    n, d0 = smallmat.plane_fit(nbrs)
     # planarity: every neighbor within 0.2 m of the plane
     plane_err = jnp.abs(jnp.einsum("nkj,nj->nk", nbrs, n) + d0[:, None])
     ok &= jnp.all(plane_err <= 0.2, axis=1)

@@ -53,6 +53,67 @@ def sym3x3_max_eigvec(A: jax.Array, l1, l2, l3):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
 
 
+def plane_fit(nbrs: jax.Array, eps: float = 1e-8):
+    """Batched regularized algebraic plane fit of (..., K, 3) neighborhoods:
+    the exact minimizer of |A x + 1|² + eps|x|² (A = nbrs), returned as
+    (n, d0) with n = x/|x|, d0 = 1/|x|, so n·p + d0 ≈ 0 — the reference's
+    `A x = -1` parameterization (`mapOptimization.cpp:1118-1134`).
+
+    Two numerical traps, both hit in round 2:
+
+    * Solving the normal equations (AᵀA + eps I) x = Aᵀ(-1) directly in f32
+      loses the normal direction: neighborhoods sit ~10-30 m from the
+      origin with ~0.2-0.5 m spread, so kappa(AᵀA) ~ 1e4-1e10 (condition
+      squared) — Cramer, LU and QR on AᵀA all fail (measured 4-16x ATE
+      blowup on the LIO bench).
+    * Swapping in an *accurate* total-least-squares fit is WORSE: for
+      degenerate neighborhoods (quasi-collinear along a scan ring — most
+      of a freshly-seeded one-scan map) the plane is underdetermined, TLS
+      picks an arbitrary normal, and the regularized algebraic solution's
+      min-norm behavior — the plane *facing the origin*, a line-of-sight
+      surface prior that matches how the reference's solver degrades — is
+      what actually stabilizes startup (measured: TLS 4x worse ATE even
+      with an eigenvalue-ratio degeneracy gate).
+
+    So: compute the SAME regularized algebraic solution, stably. Center
+    the neighborhood (AᵀA = S + K m mᵀ, Aᵀ1 = K m with S the centered
+    scatter), eigendecompose S in closed form (small, well-scaled — no
+    cancellation), and apply Sherman-Morrison in the eigenbasis:
+
+        x = -K B⁻¹ m / (1 + K mᵀ B⁻¹ m),   B = S + eps I.
+
+    B⁻¹ needs only the extreme eigenvectors: P2 = I - P1 - P3, and
+    whenever an extreme eigenvector is ill-determined its eigenvalue ties
+    the neighbor's, so the weight split doesn't matter — branch-free and
+    stable for every eigenvalue pattern."""
+    K = nbrs.shape[-2]
+    m = jnp.mean(nbrs, axis=-2)
+    dev = nbrs - m[..., None, :]
+    S = jnp.einsum("...ki,...kj->...ij", dev, dev)
+    l1, l2, l3 = sym3x3_eigvals(S)
+    v1 = sym3x3_max_eigvec(S, l1, l2, l3)
+    # min-eigval eigenvector: spectral projector with the roles swapped
+    v3 = sym3x3_max_eigvec(S, l3, l2, l1)
+    m1 = jnp.sum(v1 * m, axis=-1, keepdims=True)
+    m3 = jnp.sum(v3 * m, axis=-1, keepdims=True)
+    # relative + absolute regularization: the f32 eigensolve carries
+    # ~l1*1e-7 eigenvalue noise, so a fixed 1e-8 floor would split the
+    # degenerate subspace's weights by rounding noise instead of evenly
+    # (the even split IS the line-of-sight prior). 1e-6*l1 dominates the
+    # noise while staying far below any genuine planar l3.
+    reg = (eps + 1e-6 * l1)[..., None]
+    w1 = 1.0 / (l1[..., None] + reg)
+    w2 = 1.0 / (l2[..., None] + reg)
+    w3 = 1.0 / (l3[..., None] + reg)
+    bim = w1 * m1 * v1 + w3 * m3 * v3 + w2 * (m - m1 * v1 - m3 * v3)
+    s = jnp.sum(m * bim, axis=-1, keepdims=True)
+    x = -K * bim / (1.0 + K * s)
+    ps = jnp.linalg.norm(x, axis=-1)
+    n = x / jnp.maximum(ps, _EPS)[..., None]
+    d0 = 1.0 / jnp.maximum(ps, _EPS)
+    return n, d0
+
+
 def solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     """Batched 3x3 solve via Cramer's rule (cross-product form)."""
     c0, c1, c2 = A[..., :, 0], A[..., :, 1], A[..., :, 2]

@@ -95,6 +95,67 @@ def test_se3_recovery(rng):
     assert int(st.num_residuals) > 500
 
 
+def test_plane_fit_matches_f64_regularized(rng):
+    """f32 conditioning regression gate: plane_fit must reproduce the f64
+    solution of the reference's regularized normal equations
+    (AtA + 1e-8 I) x = At(-1) — on well-conditioned neighborhoods AND on
+    the ill-conditioned regimes where direct f32 solves fail (far-from-
+    origin planar pentagons, kappa(AtA)~1e4-1e10) or where an accurate TLS
+    fit picks an arbitrary normal (collinear scan-ring neighborhoods,
+    where the regularized min-norm solution is a line-of-sight surface
+    prior — measured 4-16x ATE blowup on the LIO bench for both failure
+    modes)."""
+    from lvislam_tpu.ops import smallmat
+
+    B = 256
+    n = rng.normal(size=(B, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    c = rng.normal(scale=25.0, size=(B, 1, 3))
+    t1 = rng.normal(size=(B, 3))
+    t1 -= (t1 * n).sum(1, keepdims=True) * n
+    t1 /= np.linalg.norm(t1, axis=1, keepdims=True)
+    t2 = np.cross(n, t1)
+    uv = np.stack(
+        [np.cos(np.linspace(0, 2 * np.pi, 5, endpoint=False)),
+         np.sin(np.linspace(0, 2 * np.pi, 5, endpoint=False))], -1
+    ) * 0.25  # well-spread pentagon: the normal is well-defined
+    P = c + uv[None, :, 0:1] * t1[:, None] + uv[None, :, 1:2] * t2[:, None]
+    P += rng.normal(scale=0.005, size=(B, 5, 3))
+    # degenerate neighborhoods ride along: collinear ring arcs + clusters
+    line = np.linspace(0, 1, 5)[:, None] * np.array([1.0, 0.4, 0.2])
+    clus = rng.normal(scale=0.03, size=(5, 3))
+    P = np.concatenate([P, [line + 20.0], [clus + 20.0]])
+
+    nf, d0 = smallmat.plane_fit(jnp.asarray(P.astype(np.float32)))
+    nf, d0 = np.asarray(nf), np.asarray(d0)
+
+    for i in range(len(P)):
+        A = P[i]  # f64
+        S = (A - A.mean(0)).T @ (A - A.mean(0))
+        reg = 1e-8 + 1e-6 * np.linalg.eigvalsh(S)[-1]  # plane_fit's reg
+        x = np.linalg.solve(A.T @ A + reg * np.eye(3), -A.sum(0))
+        ne, de = x / np.linalg.norm(x), 1.0 / np.linalg.norm(x)
+        if i < B:
+            assert np.dot(nf[i], ne) > 0.9999, (i, nf[i], ne)
+            np.testing.assert_allclose(d0[i], de, rtol=1e-3, atol=1e-4)
+        else:
+            # degenerate rows (line/cluster): the direction mix inside the
+            # null space is set by the ratio of the regularizer to f32
+            # eigenvalue noise (~l1*1e-7), so exact agreement with the f64
+            # formula is unattainable; a few degrees is behaviorally
+            # identical (any vector in that cone is the same LOS prior),
+            # while an arbitrary TLS normal would show dot ~ uniform.
+            assert np.dot(nf[i], ne) > 0.99, (i, nf[i], ne)
+            np.testing.assert_allclose(d0[i], de, rtol=5e-2)
+
+    # well-spread pentagons also recover the true generating normal
+    # (loose: the algebraic A x = -1 fit itself — f32 or f64 — carries a
+    # noise-induced tilt vs the generating plane at 25 m offset; the tight
+    # gate above is agreement with the f64 reference formula)
+    dir_err = 1.0 - np.abs(np.sum(nf[:B] * n, axis=1))
+    assert dir_err.max() < 2e-2, dir_err.max()
+
+
 def test_degenerate_flag(rng):
     """A single-plane world constrains only 1 translation DoF + 2 rotations:
     the solver must flag degeneracy and not explode."""
