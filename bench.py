@@ -96,11 +96,13 @@ def _make_cfg(mapping, pallas):
         # angle 0.2 rad, livox forced keyframe 1.0 s (`params_lidar.yaml`)
         # mapRebuildEvery=8: incremental leaf-dedup map growth between full
         # rebuilds (ATE parity tested in test_lio_incremental_map_update)
-        # gatherOncePerScan measured SLOWER warm (17.1 vs 15.9 ms/scan with
-        # the v2 kernel): the per-iteration re-score tail costs more than the
-        # re-gather it saves. Kept as an option; off on the bench path.
+        # gatherOncePerScan + nnRefreshEvery=2: the 27-cell HBM gather runs
+        # once per scan (initial pose) and refresh iterations re-score the
+        # cached candidates with the VMEM tail only — measured 11.25 vs
+        # 11.58 ms/scan same-run vs re-gathering, ATE identical (0.0431).
+        # (Re-scoring EVERY iteration is slower again: 11.96.)
         params=mapping.LioParams(nnRefreshEvery=2, mapRebuildEvery=8,
-                                 gatherOncePerScan=False),
+                                 gatherOncePerScan=True),
         loop_every_n_scans=10,
         # replay mode: ship 8 packed scans per transfer RPC — the axon
         # tunnel charges ~25 ms latency per host->device copy regardless of
@@ -233,22 +235,24 @@ def main():
         out["vio_error"] = repr(e)[:200]
 
     # ---- TPU-vs-CPU ATE parity (BASELINE criterion: within 5%) ----
+    # Full-sequence comparison: each scan-to-map GN solve lands anywhere
+    # within its ~5 mm convergence basin depending on backend rounding
+    # (measured: TPU-vs-CPU trajectories differ 2-13 mm per scan with NO
+    # growth — pure solve noise, the Pallas path is bit-identical to XLA),
+    # so a short window compares noise against a ~1 cm ATE. Over the full
+    # replay the shared systematic drift dominates and the ratio reflects
+    # actual backend fidelity.
     try:
         if on_tpu:
-            import jax.numpy as jnp
-
             cpu0 = jax.devices("cpu")[0]
-            n_cpu = n_warm + seg_len // 2  # bounded: CPU replay is ~50x slower
             with jax.default_device(cpu0):
                 cfg_cpu = _make_cfg(mapping, pallas=False)
-                _, pipe_cpu = _replay(cfg_cpu, scans[:n_cpu], n_warm,
-                                      seg_len // 2, 1)
+                _, pipe_cpu = _replay(cfg_cpu, scans, n_warm, seg_len, n_segs)
                 est_cpu = pipe_cpu.trajectory_array()[:, 3:6]
-            ate_cpu = ate_rmse(est_cpu, gt_pos[:n_cpu], align=True)
-            ate_tpu_w = ate_rmse(est_pos[:n_cpu], gt_pos[:n_cpu], align=True)
+            ate_cpu = ate_rmse(est_cpu, gt_pos, align=True)
             out["ate_cpu_ref_m"] = round(float(ate_cpu), 4)
             out["ate_vs_cpu_ref_pct"] = round(
-                100.0 * abs(float(ate_tpu_w) - float(ate_cpu))
+                100.0 * abs(float(ate) - float(ate_cpu))
                 / max(float(ate_cpu), 1e-9), 2,
             )
     except Exception as e:  # pragma: no cover

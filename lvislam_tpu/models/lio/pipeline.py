@@ -45,6 +45,12 @@ class LioConfig:
     # up to ~1 MB), so per-scan uploads cap the replay at ~27 ms/scan even
     # though compute is ~16 ms. Live operation keeps 1 (no added latency).
     upload_batch: int = 1
+    # replay mode only: hold each full batch back one flush so its upload
+    # overlaps the PREVIOUS batch's device execution (depth-1 software
+    # pipeline, no threads). Measured 10.8 -> ~9 ms/scan on the tunnel
+    # (device-resident floor 8.4). Adds one batch of latency — irrelevant
+    # for replay, which is why it is gated on upload_batch > 1.
+    pipelined_uploads: bool = True
 
 
 # Quantization of the per-scan upload (the axon tunnel moves ~26 MB/s, so
@@ -194,6 +200,8 @@ class LioPipeline:
         self.trajectory = []  # (stamp, x6 DeviceArray) log — lazy, no syncs
         self.scan_counter = 0
         self._staged: list = []  # (buf, stamp) awaiting a batched upload
+        # pipelined replay: an uploaded-but-not-yet-dispatched full batch
+        self._resident: tuple | None = None
         self._step = partial(
             lio_full_step,
             n_scan=cfg.n_scan,
@@ -287,7 +295,7 @@ class LioPipeline:
         if cfg.upload_batch > 1:
             self._staged.append((buf, scan["stamp"]))
             if len(self._staged) >= cfg.upload_batch:
-                self.flush()
+                self._ship_full_batch()
             return None  # outputs land in `trajectory` at flush time
         # fresh buffer per scan: CPU backends may alias host memory, so a
         # reused buffer would corrupt in-flight async steps
@@ -295,29 +303,51 @@ class LioPipeline:
         self.trajectory.append((scan["stamp"], out.x6))
         return out
 
+    def _ship_full_batch(self):
+        """Upload the staged full batch; dispatch it now, or — pipelined
+        mode — hold it resident and dispatch the PREVIOUS batch, so this
+        upload's tunnel RPC rides under that batch's device execution."""
+        arr = jnp.asarray(np.stack([b for b, _ in self._staged]))
+        stamps = tuple(st for _, st in self._staged)
+        self._staged = []
+        if not self.cfg.pipelined_uploads:
+            self.state, x6s = self._batch_step(self.state, arr)
+            self.trajectory.append((stamps, x6s))
+            return
+        if self._resident is not None:
+            self._dispatch_resident()
+        self._resident = (arr, stamps)
+
+    def _dispatch_resident(self):
+        arr, stamps = self._resident
+        self._resident = None
+        self.state, x6s = self._batch_step(self.state, arr)
+        # one lazy (K, 6) device array per batch; flattened on readback
+        self.trajectory.append((stamps, x6s))
+
     def flush(self):
-        """Ship all staged scans in one transfer; full batches also run as
-        ONE dispatched program (chained `lax.scan`), so replay costs two
-        tunnel RPCs per `upload_batch` scans instead of two per scan."""
+        """Drain the pipeline: dispatch the held-back resident batch, then
+        ship any trailing partial batch (padded to the compiled (K, L)
+        shape, dispatching only the real rows). Replay costs two tunnel
+        RPCs per `upload_batch` scans instead of two per scan."""
+        if self._resident is not None:
+            self._dispatch_resident()
         if not self._staged:
             return
-        stamps = [st for _, st in self._staged]
         if len(self._staged) == self.cfg.upload_batch:
-            arr = jnp.asarray(np.stack([b for b, _ in self._staged]))
-            self.state, x6s = self._batch_step(self.state, arr)
-            # one lazy (K, 6) device array per batch; flattened on readback
-            self.trajectory.append((tuple(stamps), x6s))
-        else:
-            # trailing partial batch: pad the upload to the compiled (K, L)
-            # shape but dispatch only the real rows
-            rows = [b for b, _ in self._staged]
-            while len(rows) < self.cfg.upload_batch:
-                rows.append(np.zeros_like(rows[0]))
-            arr = jnp.asarray(np.stack(rows))
-            for k, stamp in enumerate(stamps):
-                self.state, out = self._step_row(self.state, arr,
-                                                 self._row_ids[k])
-                self.trajectory.append((stamp, out.x6))
+            self._ship_full_batch()
+            if self._resident is not None:
+                self._dispatch_resident()
+            return
+        stamps = [st for _, st in self._staged]
+        rows = [b for b, _ in self._staged]
+        while len(rows) < self.cfg.upload_batch:
+            rows.append(np.zeros_like(rows[0]))
+        arr = jnp.asarray(np.stack(rows))
+        for k, stamp in enumerate(stamps):
+            self.state, out = self._step_row(self.state, arr,
+                                             self._row_ids[k])
+            self.trajectory.append((stamp, out.x6))
         self._staged = []
 
     def trajectory_array(self) -> np.ndarray:

@@ -294,14 +294,14 @@ def scan_to_map_hashed(
     kernel (`ops.pallas_knn`) — TPU only; identical selection semantics.
 
     `gather_once` (requires `use_pallas`): fetch each query's 27-cell
-    candidate neighborhood ONCE at the initial pose and re-SCORE it every
-    iteration — the HBM-latency-bound row gather (the dominant query cost)
-    leaves the GN loop entirely, and correspondences refresh EVERY
-    iteration (fresher than `nn_refresh_every > 1` staleness). Exact for
-    queries that stay inside their gather-time 1 m cell; the
-    boundary-crossing fraction (scales with the pose correction, mm-cm
-    for warm starts) may miss edge-of-box candidates, which the
-    exact-distance recompute in the coefficient stage still gates."""
+    candidate neighborhood ONCE at the initial pose and re-SCORE it on the
+    `nn_refresh_every` schedule — the HBM-latency-bound row gather (the
+    dominant query cost) leaves the GN loop entirely, and each refresh
+    costs only the VMEM tail kernel. Exact for queries that stay inside
+    their gather-time 1 m cell; the boundary-crossing fraction (scales
+    with the pose correction, mm-cm for warm starts) may miss
+    edge-of-box candidates, which the exact-distance recompute in the
+    coefficient stage still gates."""
     from . import voxel_hash as vh
 
     q_fn = (
@@ -336,12 +336,21 @@ def scan_to_map_hashed(
         sw = surf_pts @ Rm.T + t
 
         if gather_once:
-            # re-score the cached neighborhoods at the current pose —
-            # fresh correspondences every iteration, zero gathers
-            ci, cd = vh.query_score(corner_hash, g_corner, cw, 5,
-                                    interpret=pallas_interpret)
-            si, sd = vh.query_score(surf_hash, g_surf, sw, 5,
-                                    interpret=pallas_interpret)
+            # re-score the cached neighborhoods at the current pose on the
+            # refresh schedule — the HBM row gather happened ONCE at the
+            # initial pose, so a refresh costs only the VMEM tail kernel
+            # (~3x cheaper than a full re-gathering query)
+            def rescore(_):
+                ci2, cd2 = vh.query_score(corner_hash, g_corner, cw, 5,
+                                          interpret=pallas_interpret)
+                si2, sd2 = vh.query_score(surf_hash, g_surf, sw, 5,
+                                          interpret=pallas_interpret)
+                return ci2, cd2, si2, sd2
+
+            do = (st.it % nn_refresh_every) == 0
+            ci, cd, si, sd = jax.lax.cond(
+                do, rescore, lambda _: (ci, cd, si, sd), None
+            )
         else:
             def refresh(_):
                 ci2, cd2 = q_fn(corner_hash, cw, 5)
