@@ -191,6 +191,54 @@ def lio_batch_step(state, arr, **kw):
     return jax.lax.scan(body, state, arr)
 
 
+def pack_scan(
+    cfg: LioConfig,
+    scan: dict,
+    imu_rel_time: np.ndarray,
+    imu_gyro: np.ndarray,
+    imu_rpy_init: np.ndarray | None,
+    odom: dict | None = None,
+    gps: dict | None = None,
+    do_loop: bool = False,
+) -> np.ndarray:
+    """Quantize one scan + its IMU window + misc flags into the flat int16
+    upload buffer `lio_full_step` unpacks on device (layout documented
+    there)."""
+    P, M = cfg.point_capacity, cfg.imu_capacity
+    buf = np.zeros(P * 6 + M * 8 + 48, np.int16)
+    pts = buf[: P * 6].reshape(P, 6)
+    n = min(len(scan["xyz"]), P)
+    np.clip(np.round(scan["xyz"][:n] / POS_SCALE), -32767, 32767,
+            out=pts[:n, 0:3], casting="unsafe")
+    np.clip(np.round(scan["intensity"][:n]), -32767, 32767,
+            out=pts[:n, 3], casting="unsafe")
+    pts[:n, 4] = np.asarray(scan["ring"][:n], np.int16) + 256
+    np.clip(np.round(scan["time"][:n] / TIME_SCALE), 0, 32767,
+            out=pts[:n, 5], casting="unsafe")
+    imu = buf[P * 6 : P * 6 + M * 8].view(np.float32).reshape(M, 4)
+    icount = min(len(imu_rel_time), M)
+    imu[:icount, 0] = imu_rel_time[:icount]
+    imu[:icount, 1:4] = imu_gyro[:icount]
+    if 0 < icount < M:
+        imu[icount:, 0] = imu_rel_time[icount - 1]
+        imu[icount:, 1:4] = imu_gyro[icount - 1]
+    misc = buf[P * 6 + M * 8 :].view(np.float32)
+    misc[0] = icount
+    misc[1:4] = imu_rpy_init if imu_rpy_init is not None else 0.0
+    misc[4] = float(imu_rpy_init is not None and icount > 1)
+    misc[5] = scan["stamp"]
+    misc[6] = float(odom is not None)
+    misc[7:10] = odom["trans"] if odom else 0.0
+    misc[10:14] = odom["quat"] if odom else (1.0, 0, 0, 0)
+    misc[14] = odom["reset_id"] if odom else 0
+    misc[15] = float(do_loop)
+    misc[16] = float(gps is not None)
+    misc[17:20] = gps["pos"] if gps else 0.0
+    misc[20:23] = gps["noise"] if gps else 0.0
+    misc[23] = float(gps.get("use_elevation", False)) if gps else 0.0
+    return buf
+
+
 class LioPipeline:
     """Per-scan LIO processing with device-resident state."""
 
@@ -255,43 +303,13 @@ class LioPipeline:
         reference's queue pop, `mapOptimization.cpp:1444-1452`). Fully
         async: returns device arrays without syncing."""
         cfg = self.cfg
-        P, M = cfg.point_capacity, cfg.imu_capacity
         self.scan_counter += 1
         do_loop = (
             cfg.loop_closure_enabled
             and self.scan_counter % cfg.loop_every_n_scans == 0
         )
-        buf = np.zeros(P * 6 + M * 8 + 48, np.int16)
-        pts = buf[: P * 6].reshape(P, 6)
-        n = min(len(scan["xyz"]), P)
-        np.clip(np.round(scan["xyz"][:n] / POS_SCALE), -32767, 32767,
-                out=pts[:n, 0:3], casting="unsafe")
-        np.clip(np.round(scan["intensity"][:n]), -32767, 32767,
-                out=pts[:n, 3], casting="unsafe")
-        pts[:n, 4] = np.asarray(scan["ring"][:n], np.int16) + 256
-        np.clip(np.round(scan["time"][:n] / TIME_SCALE), 0, 32767,
-                out=pts[:n, 5], casting="unsafe")
-        imu = buf[P * 6 : P * 6 + M * 8].view(np.float32).reshape(M, 4)
-        icount = min(len(imu_rel_time), M)
-        imu[:icount, 0] = imu_rel_time[:icount]
-        imu[:icount, 1:4] = imu_gyro[:icount]
-        if 0 < icount < M:
-            imu[icount:, 0] = imu_rel_time[icount - 1]
-            imu[icount:, 1:4] = imu_gyro[icount - 1]
-        misc = buf[P * 6 + M * 8 :].view(np.float32)
-        misc[0] = icount
-        misc[1:4] = imu_rpy_init if imu_rpy_init is not None else 0.0
-        misc[4] = float(imu_rpy_init is not None and icount > 1)
-        misc[5] = scan["stamp"]
-        misc[6] = float(odom is not None)
-        misc[7:10] = odom["trans"] if odom else 0.0
-        misc[10:14] = odom["quat"] if odom else (1.0, 0, 0, 0)
-        misc[14] = odom["reset_id"] if odom else 0
-        misc[15] = float(do_loop)
-        misc[16] = float(gps is not None)
-        misc[17:20] = gps["pos"] if gps else 0.0
-        misc[20:23] = gps["noise"] if gps else 0.0
-        misc[23] = float(gps.get("use_elevation", False)) if gps else 0.0
+        buf = pack_scan(cfg, scan, imu_rel_time, imu_gyro, imu_rpy_init,
+                        odom=odom, gps=gps, do_loop=do_loop)
         if cfg.upload_batch > 1:
             self._staged.append((buf, scan["stamp"]))
             if len(self._staged) >= cfg.upload_batch:
