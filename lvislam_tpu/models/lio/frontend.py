@@ -70,25 +70,18 @@ def project_scan(
     )
     xyz_d = jnp.where(do_deskew, deskewed, xyz)
 
-    range_img, xyz_img, inten_img, valid_img, _ = pc.project_to_range_image(
+    (flat_xyz, flat_int, flat_rng, flat_col, flat_valid,
+     _counts, start_idx, end_idx) = pc.project_compact(
         xyz_d, intensity, ring, point_valid, n_scan, horizon,
         min_range, max_range, columns=None, downsample_rate=downsample_rate,
     )
-
-    order, counts, start_idx, end_idx = pc.compact_rings(valid_img, horizon)
-    flat_xyz, flat_valid = pc.gather_compacted(order, counts, xyz_img)
-    flat_int, _ = pc.gather_compacted(order, counts, inten_img)
-    flat_rng, _ = pc.gather_compacted(order, counts, range_img)
-    # column index of each compacted point = its original column
-    col_img = jnp.broadcast_to(jnp.arange(horizon, dtype=jnp.int32)[None, :], valid_img.shape)
-    flat_col, _ = pc.gather_compacted(order, counts, col_img)
 
     return ProjectionResult(
         xyz=flat_xyz,
         intensity=flat_int,
         valid=flat_valid,
-        point_col=flat_col.astype(jnp.int32),
-        point_range=jnp.where(flat_valid, flat_rng, 0.0),
+        point_col=flat_col,
+        point_range=flat_rng,
         start_ring_index=start_idx.astype(jnp.int32),
         end_ring_index=end_idx.astype(jnp.int32),
         imu_available=imu_available,
@@ -129,10 +122,18 @@ def extract_features(
         curv, proj.point_col, occl, proj.valid,
         proj.start_ring_index, proj.end_ring_index, edge_threshold,
     )
-    # compact edge points to capacity (order-preserving)
-    eorder = jnp.argsort(~edges, stable=True)[:max_corner]
-    corner_xyz = proj.xyz[eorder]
-    corner_valid = edges[eorder]
+    # compact edge points to capacity (order-preserving): prefix-sum +
+    # scatter instead of a full-P stable argsort of a binary key
+    e32 = edges.astype(jnp.int32)
+    n_edges = jnp.sum(e32)
+    dest = jnp.cumsum(e32) - e32  # exclusive rank among edges
+    slot = jnp.where(edges, jnp.minimum(dest, max_corner), max_corner)
+    eidx = (
+        jnp.zeros(max_corner + 1, jnp.int32)
+        .at[slot].set(jnp.arange(edges.shape[0], dtype=jnp.int32))[:max_corner]
+    )
+    corner_xyz = proj.xyz[eidx]
+    corner_valid = jnp.arange(max_corner) < n_edges
 
     surf_mask = loam.surface_candidates(edges, proj.valid)
     surf_xyz, surf_valid, _ = pc.voxel_downsample(

@@ -138,16 +138,80 @@ def compact_rings(valid_img: jax.Array, horizon_scan: int):
     preserving column order. Returns (order (N,H) gather indices into each
     ring, counts (N,), start_idx (N,), end_idx (N,)) where start/end carry
     the reference's ±5 margins and index into the *flat* compacted array.
+
+    `order[r, j]` for j >= counts[r] is 0 — callers mask by counts. The
+    compaction is a prefix-sum + scatter rather than a stable argsort of
+    binary keys: identical for the in-count entries and far cheaper on TPU
+    (no 6000-wide sort per ring).
     """
     n_scan = valid_img.shape[0]
-    # stable sort invalid-last within each ring
-    key = jnp.where(valid_img, 0, 1)
-    order = jnp.argsort(key, axis=1, stable=True)  # valid cells first, col order kept
-    counts = jnp.sum(valid_img, axis=1)
+    # cumsum along the minor (lane) axis — the fast direction on TPU
+    incl = jnp.cumsum(valid_img.astype(jnp.int32), axis=1)
+    counts = incl[:, -1]
+    dest = jnp.where(valid_img, incl - 1, horizon_scan)  # invalid -> trash
+    col = jnp.broadcast_to(
+        jnp.arange(horizon_scan, dtype=jnp.int32)[None, :], valid_img.shape
+    )
+    order = jnp.zeros((n_scan, horizon_scan + 1), jnp.int32)
+    order = order.at[jnp.arange(n_scan)[:, None], dest].set(col)
+    order = order[:, :horizon_scan]
     cum = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
     start_idx = cum[:-1] - 1 + 5
     end_idx = cum[1:] - 1 - 5
     return order, counts, start_idx, end_idx
+
+
+def project_compact(
+    xyz: jax.Array,  # (P, 3) (deskewed) points
+    intensity: jax.Array,  # (P,)
+    ring: jax.Array,  # (P,) int32
+    valid: jax.Array,  # (P,) bool
+    n_scan: int,
+    horizon_scan: int,
+    min_range: float,
+    max_range: float,
+    columns: jax.Array | None = None,
+    downsample_rate: int = 1,
+):
+    """Fused `project_to_range_image` + `compact_rings` + gathers: the
+    range-image dedup (first-point-wins scatter-min) composes directly with
+    the ring compaction, so the (N, H, ·) intermediate images are never
+    materialized — one point gather replaces the seven of the unfused path.
+
+    Returns (flat_xyz (N*H,3), flat_int (N*H,), flat_rng (N*H,),
+    flat_col (N*H,) int32, flat_valid (N*H,), counts (N,),
+    start_idx (N,), end_idx (N,)). Entries past counts are masked junk.
+    """
+    P = xyz.shape[0]
+    rng = jnp.linalg.norm(xyz, axis=-1)
+    ok = valid & (rng >= min_range) & (rng <= max_range)
+    ok &= (ring >= 0) & (ring < n_scan)
+    if downsample_rate > 1:
+        ok &= (ring % downsample_rate) == 0
+    if columns is None:
+        columns = livox_columns(ring, ok, n_scan)
+    ok &= (columns >= 0) & (columns < horizon_scan)
+
+    # first-wins dedup: scatter-min of point index per cell (trash cell last)
+    flat_cell = jnp.where(ok, ring * horizon_scan + columns, n_scan * horizon_scan)
+    winner = jnp.full(n_scan * horizon_scan + 1, P, jnp.int32)
+    winner = winner.at[flat_cell].min(jnp.arange(P, dtype=jnp.int32))
+    winner = winner[:-1].reshape(n_scan, horizon_scan)
+    valid_img = winner < P
+
+    order, counts, start_idx, end_idx = compact_rings(valid_img, horizon_scan)
+    gidx = jnp.take_along_axis(winner, order, axis=1).reshape(-1)
+    gidx = jnp.clip(gidx, 0, P - 1)
+    flat_valid = (
+        jnp.arange(horizon_scan, dtype=counts.dtype)[None, :] < counts[:, None]
+    ).reshape(-1)
+    data = jnp.concatenate([xyz, rng[:, None], intensity[:, None]], axis=-1)
+    flat = data[gidx]
+    flat_rng = jnp.where(flat_valid, flat[:, 3], 0.0)
+    return (
+        flat[:, 0:3], flat[:, 4], flat_rng, order.reshape(-1),
+        flat_valid, counts, start_idx, end_idx,
+    )
 
 
 def gather_compacted(order, counts, img):
@@ -186,7 +250,14 @@ def voxel_downsample(
 
     Returns (xyz_out (capacity,3), valid_out (capacity,), intensity_out).
     Voxels beyond `capacity` are dropped (sorted by voxel key).
+
+    Small inputs (P <= 4096) dispatch to the sort-free dense path — a TPU
+    argsort costs ~0.5 ms even at P=2048, while the (P, P) key-equality
+    matmul is tens of microseconds. Same centroids; output ordered by first
+    occurrence instead of key order (consumers treat the result as a set).
     """
+    if xyz.shape[0] <= 4096:
+        return _voxel_downsample_dense(xyz, valid, leaf, capacity, intensity)
     keys = _voxel_keys(xyz, valid, leaf)
     order = jnp.argsort(keys)
     ks = keys[order]
@@ -211,6 +282,42 @@ def voxel_downsample(
     cent = sums[:n_seg] / denom
     out_xyz = jnp.where(out_valid[:, None], cent[:, :3], 0.0)
     out_int = jnp.where(out_valid, cent[:, 3], 0.0)
+    return out_xyz, out_valid, out_int
+
+
+def _voxel_downsample_dense(
+    xyz: jax.Array,  # (P, 3), P small
+    valid: jax.Array,  # (P,)
+    leaf: float,
+    capacity: int,
+    intensity: jax.Array | None = None,
+):
+    """Sort-free voxel centroid downsample for small clouds: pairwise
+    key equality (P, P) + one MXU matmul for the segment sums, then a
+    prefix-sum scatter compaction of the first-occurrence rows. On
+    capacity overflow, later-seen voxels are dropped (the sort path drops
+    highest keys — callers size capacities so neither triggers)."""
+    P = xyz.shape[0]
+    keys = _voxel_keys(xyz, valid, leaf)
+    eq = (keys[:, None] == keys[None, :]) & valid[None, :] & valid[:, None]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    earlier = idx[None, :] < idx[:, None]
+    first = valid & ~jnp.any(eq & earlier, axis=1)
+
+    ins = intensity if intensity is not None else jnp.zeros(P, xyz.dtype)
+    data = jnp.concatenate([xyz, ins[:, None]], axis=-1)  # (P, 4)
+    sums = eq.astype(xyz.dtype) @ data
+    cnts = jnp.sum(eq, axis=1)
+    cent = sums / jnp.maximum(cnts, 1).astype(xyz.dtype)[:, None]
+
+    f32 = first.astype(jnp.int32)
+    rank = jnp.cumsum(f32) - f32  # exclusive rank among first rows
+    slot = jnp.where(first & (rank < capacity), rank, capacity)
+    out = jnp.zeros((capacity + 1, 4), xyz.dtype).at[slot].set(cent)
+    n_vox = jnp.sum(f32)
+    out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
+    out_xyz = jnp.where(out_valid[:, None], out[:capacity, :3], 0.0)
+    out_int = jnp.where(out_valid, out[:capacity, 3], 0.0)
     return out_xyz, out_valid, out_int
 
 

@@ -135,8 +135,8 @@ def main():
 
     def f_unpack(c):
         pk = packed + (c * 0).astype(jnp.int16)
-        pts = pk[: P * 6].reshape(P, 6)
-        x = pts[:, 0:3].astype(jnp.float32) * 0.003
+        pts = pk[: P * 6].reshape(6, P)  # planar rows (matches pack_scan)
+        x = pts[0:3].astype(jnp.float32).T * 0.003
         return x[0, 0]
 
     timeit("unpack (int16 -> f32)", f_unpack)

@@ -63,6 +63,30 @@ def test_voxel_downsample_matches_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_voxel_downsample_dense_matches_sort_path(rng):
+    # the small-P dense (sort-free) path must produce the same voxel set
+    # as the large-P sort path, up to output ordering
+    n = 1500
+    xyz = rng.uniform(-8, 8, size=(n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 100, size=n).astype(np.float32)
+    valid = rng.random(n) > 0.2
+    leaf = 0.5
+    dx, dv, di = pc._voxel_downsample_dense(
+        jnp.array(xyz), jnp.array(valid), leaf, 2048, jnp.array(inten))
+    sx, sv, si = pc.voxel_downsample(
+        jnp.concatenate([jnp.array(xyz)] * 4)[: n * 4 - 1],
+        jnp.concatenate([jnp.array(valid), jnp.zeros(n * 3 - 1, bool)]),
+        leaf, 2048,
+        jnp.concatenate([jnp.array(inten)] * 4)[: n * 4 - 1],
+    )  # padded past 4096 to force the sort path on the same points
+    d = np.c_[np.asarray(dx)[np.asarray(dv)], np.asarray(di)[np.asarray(dv)]]
+    s = np.c_[np.asarray(sx)[np.asarray(sv)], np.asarray(si)[np.asarray(sv)]]
+    assert d.shape == s.shape
+    np.testing.assert_allclose(
+        np.array(sorted(d, key=tuple)), np.array(sorted(s, key=tuple)),
+        atol=1e-3)
+
+
 def test_compact_rings():
     valid = jnp.array(
         [[1, 0, 1, 1, 0, 0, 1, 0], [0, 1, 1, 0, 0, 0, 0, 0]], dtype=bool
