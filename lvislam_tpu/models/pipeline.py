@@ -132,7 +132,15 @@ class LviSystem:
         self.imu_times.append(stamp)
         self.imu_gyro.append(np.asarray(msg["gyro"], np.float32))
         self.imu_acc.append(np.asarray(msg["acc"], np.float32))
-        self.imu_rpy.append(np.asarray(msg.get("rpy", np.zeros(3)), np.float32))
+        # rpy may be absent OR explicitly None (IMUs without orientation,
+        # e.g. MID360 bags) — np.asarray(None) is NaN and would poison the
+        # roll/pitch slerp in `_transform_update`; keep a NaN sentinel row
+        # and gate on it at scan time instead.
+        rpy = msg.get("rpy")
+        self.imu_rpy.append(
+            np.full(3, np.nan, np.float32) if rpy is None
+            else np.asarray(rpy, np.float32)
+        )
         # bound buffers to ~10 s at 500 Hz
         if len(self.imu_times) > 5000:
             for b in (self.imu_times, self.imu_gyro, self.imu_acc, self.imu_rpy):
@@ -209,11 +217,17 @@ class LviSystem:
         irt = (ts[sel] - stamp).astype(np.float32)
         ig = np.stack([self.imu_gyro[i] for i in sel]) if len(sel) else np.zeros((0, 3), np.float32)
         rpy = self.imu_rpy[sel[0]] if len(sel) else None
+        if rpy is not None and not np.isfinite(rpy).all():
+            rpy = None  # orientation-less IMU: 9-axis init/slerp disabled
         # GPS staleness gate: use the latest fix within 0.2 s of the scan
         # (the reference's gpsQueue pop, `mapOptimization.cpp:1444-1452`)
         gps = None
         if self.last_gps is not None and abs(self.last_gps["stamp"] - stamp) < 0.2:
             gps = self.last_gps
+        # Keyframe stamps / loop-closure dt gates run on bus time: override
+        # whatever timeline the decoder left in the dict (absolute bag time
+        # for livox CustomMsg; PointCloud2 decodes carry no stamp at all).
+        scan = dict(scan, stamp=stamp)
         out = self.lio.process_scan(scan, irt, ig, rpy, odom=odom, gps=gps)
 
         # LIS incremental odometry -> IMU fusion correction (IMU frame)

@@ -23,33 +23,6 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def pc2_to_scan(msg):
-    """sensor_msgs/PointCloud2 payload -> LioPipeline scan dict (assumes the
-    common x,y,z,intensity[,ring|line][,time|timestamp|t] float layout)."""
-    data = np.frombuffer(msg["data"], np.uint8)
-    n = len(data) // msg["point_step"]
-    rec = data[: n * msg["point_step"]].reshape(n, msg["point_step"])
-
-    def field(name, dtype, default=None):
-        if name not in msg["fields"]:
-            return default
-        off = msg["fields"][name][0]
-        w = np.dtype(dtype).itemsize
-        return rec[:, off : off + w].copy().view(dtype).ravel()
-
-    xyz = np.stack([field(k, np.float32) for k in "xyz"], -1)
-    inten = field("intensity", np.float32, np.zeros(n, np.float32))
-    ring = field("ring", np.uint16, None)
-    if ring is None:
-        ring = field("line", np.uint8, np.zeros(n, np.uint8))
-    t = field("time", np.float32, None)
-    if t is None:
-        t = field("t", np.uint32, None)
-        t = t.astype(np.float32) * 1e-9 if t is not None else np.zeros(n, np.float32)
-    return dict(xyz=xyz, intensity=inten.astype(np.float32),
-                ring=ring.astype(np.int32), time=t.astype(np.float32))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bag")
@@ -74,7 +47,7 @@ def main():
     from lvislam_tpu.core.config import load_yaml
     from lvislam_tpu.models.pipeline import LviConfig, LviSystem
     from lvislam_tpu.models.lio.pipeline import LioConfig
-    from lvislam_tpu.utils.bag import Rosbag2Reader
+    from lvislam_tpu.utils.bag import Rosbag2Reader, pointcloud2_to_scan
 
     syscfg = load_yaml(args.lidar_yaml, args.camera_yaml)
     lid = syscfg.lidar
@@ -117,7 +90,7 @@ def main():
         elif kind == "livox":
             sys_.feed_lidar(t - t0, msg)
         elif kind == "pointcloud":
-            sys_.feed_lidar(t - t0, pc2_to_scan(msg))
+            sys_.feed_lidar(t - t0, pointcloud2_to_scan(msg))
         elif kind == "image":
             sys_.feed_image(t - t0, msg["image"])
         elif kind == "odometry" and topic == args.gps_topic:

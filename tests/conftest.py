@@ -9,7 +9,8 @@ on (fast-compiling) CPU; mesh tests pass explicit CPU device lists.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the environment ships JAX_PLATFORMS=axon globally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +18,23 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# start (before this file runs) and initializes ALL backends on first
+# jax.devices() — a wedged/unavailable tunnel then fails or segfaults a
+# test run that never needed the TPU (observed: SIGSEGV inside
+# backend_compile_and_load with the tunnel down). Drop its factory before
+# any backend initializes; tests are CPU-only by design.
+try:  # pragma: no cover - depends on environment
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    # sitecustomize imported jax before this file ran, so the jax_platforms
+    # config was already baked from the env's JAX_PLATFORMS=axon; point it
+    # at cpu or every backend init now fails on the unknown name.
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 try:
     _cpus = jax.devices("cpu")

@@ -107,6 +107,76 @@ def test_rosbag2_roundtrip(tmp_path):
     np.testing.assert_allclose(m1["time"], [0.0, 1e-6], atol=1e-12)
 
 
+def encode_pointcloud2(stamp, fields, point_blob, point_step, n):
+    """fields: [(name, offset, datatype_code, count)]"""
+    out, w = cdr_writer()
+    w["i32"](int(stamp))
+    w["u32"](int((stamp % 1) * 1e9))
+    w["string"]("lidar")
+    w["u32"](1)  # height
+    w["u32"](n)  # width
+    w["u32"](len(fields))
+    for name, off, code, cnt in fields:
+        w["string"](name)
+        w["u32"](off)
+        w["u8"](code)
+        w["u32"](cnt)
+    w["u8"](0)  # bigendian
+    w["u32"](point_step)
+    w["u32"](point_step * n)
+    w["u32"](len(point_blob))
+    w["raw"](point_blob)
+    w["u8"](1)  # is_dense
+    return bytes(out)
+
+
+def test_pointcloud2_fast_layout():
+    """x,y,z,intensity f32 + ring u16 + time f32 -> native decoder path;
+    the NaN point must be compacted out."""
+    n = 4
+    step = 24
+    blob = bytearray(step * n)
+    xyz = np.array([[1, 2, 3], [np.nan, 0, 0], [4, 5, 6], [7, 8, 9]],
+                   np.float32)
+    for i in range(n):
+        struct.pack_into("<ffff", blob, i * step, *xyz[i], float(i) * 10)
+        struct.pack_into("<H", blob, i * step + 16, i % 3)
+        struct.pack_into("<f", blob, i * step + 18, i * 1e-3)
+    f32c, u16c = 7, 4
+    msg_bytes = encode_pointcloud2(
+        2.0, [("x", 0, f32c, 1), ("y", 4, f32c, 1), ("z", 8, f32c, 1),
+              ("intensity", 12, f32c, 1), ("ring", 16, u16c, 1),
+              ("time", 18, f32c, 1)],
+        bytes(blob), step, n)
+    msg = bag.parse_pointcloud2(msg_bytes)
+    scan = bag.pointcloud2_to_scan(msg)
+    np.testing.assert_allclose(scan["xyz"], xyz[[0, 2, 3]])
+    np.testing.assert_allclose(scan["intensity"], [0.0, 20.0, 30.0])
+    np.testing.assert_array_equal(scan["ring"], [0, 2, 0])
+    np.testing.assert_allclose(scan["time"], [0.0, 2e-3, 3e-3], atol=1e-9)
+
+
+def test_pointcloud2_generic_layout():
+    """Ouster-style layout: u32 nanosecond `t` + u8 `line` -> generic path."""
+    n = 3
+    step = 18
+    blob = bytearray(step * n)
+    xyz = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.float32)
+    for i in range(n):
+        struct.pack_into("<fff", blob, i * step, *xyz[i])
+        struct.pack_into("<I", blob, i * step + 12, i * 1000)
+        blob[i * step + 16] = i  # line
+    f32c, u32c, u8c = 7, 6, 2
+    msg_bytes = encode_pointcloud2(
+        2.0, [("x", 0, f32c, 1), ("y", 4, f32c, 1), ("z", 8, f32c, 1),
+              ("t", 12, u32c, 1), ("line", 16, u8c, 1)],
+        bytes(blob), step, n)
+    scan = bag.pointcloud2_to_scan(bag.parse_pointcloud2(msg_bytes))
+    np.testing.assert_allclose(scan["xyz"], xyz)
+    np.testing.assert_array_equal(scan["ring"], [0, 1, 2])
+    np.testing.assert_allclose(scan["time"], [0.0, 1e-6, 2e-6], atol=1e-12)
+
+
 def test_euroc_reader(tmp_path):
     root = tmp_path / "mav0"
     os.makedirs(root / "imu0")

@@ -103,3 +103,26 @@ def test_lvi_full_fusion():
     inv = np.asarray(sys_.vio.table.inv_depth)
     lf = np.asarray(sys_.vio.table.lidar_flag)
     assert lf.sum() >= 0  # channel exercised (hit count depends on geometry)
+
+
+def test_stampless_scan_gets_bus_time():
+    """PointCloud2 decodes (`bag.pointcloud2_to_scan`) carry no `stamp` key
+    and livox CustomMsg carries absolute bag time — `_on_lidar` must stamp
+    the scan with bus time before `process_scan` (keyframe stamps and
+    loop-closure dt gates run on the bus timeline)."""
+    sys_ = make_system()
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+    for i in range(40):
+        t = (i + 1) / 200.0
+        w, f = traj.imu(np.array([t]))
+        sys_.feed_imu(t, w[0], f[0])
+    scan = syn.simulate_lidar_scan(world, traj, 0.05, n_scan=4, horizon=900,
+                                   sweep_time=0.1)
+    del scan["stamp"]
+    sys_.feed_lidar(0.05, scan)
+    sys_.run()
+    assert len(sys_.trajectory) == 1 and sys_.trajectory[0][0] == 0.05
+    assert float(np.asarray(sys_.lio.state.last_scan_stamp)) == pytest.approx(0.05)
+    # orientation-less IMU (rpy=None) must not poison roll/pitch with NaN
+    assert np.isfinite(np.asarray(sys_.lio.state.x6)).all()
