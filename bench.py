@@ -24,6 +24,52 @@ import time
 import numpy as np
 
 
+def _backend_alive(deadline_s: float = 180.0) -> bool:
+    """The axon TPU tunnel can wedge (NOTES.md): any device op then hangs
+    forever, including backend init. Probe it in a CHILD process with a hard
+    deadline so bench.py always emits its JSON line — on a dead tunnel the
+    parent re-execs itself onto the CPU backend instead of hanging."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # no tunnel plugin registered: default backend is local
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((8, 128));"
+        "print(float(np.asarray(x @ x.T).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=deadline_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _ensure_live_backend():
+    if os.environ.get("_LVI_BENCH_CHILD") == "1" or _backend_alive():
+        return False
+    import sys
+
+    env = {
+        **os.environ,
+        # sitecustomize registers the axon plugin at interpreter start,
+        # gated on this variable — scrub it and re-exec so the dead tunnel
+        # is never touched in the fallback run.
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "_LVI_BENCH_CHILD": "1",
+        "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_comp_cache_cpu",
+    }
+    print("# TPU tunnel unresponsive; falling back to CPU backend",
+          flush=True)
+    os.execvpe(sys.executable, [sys.executable, os.path.abspath(__file__)],
+               env)
+
+
 def _timeit_device(fn, reps=32, tries=3):
     """Amortized device timing: rep the op in one jitted lax.scan, sync by
     host readback (block_until_ready is a no-op on the axon tunnel)."""
@@ -187,9 +233,17 @@ def _vio_section(out):
 
 
 def main():
+    _ensure_live_backend()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    # the CPU-fallback child uses its own cache dir: the shared one holds
+    # executables AOT-compiled by the axon remote-compile helper with host
+    # features this machine lacks (cpu_aot_loader SIGILL warnings)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/root/.cache/jax_comp_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from lvislam_tpu.utils import synthetic as syn
@@ -198,6 +252,10 @@ def main():
 
     rate = 10.0
     n_warm, seg_len, n_segs = 11, 40, 2
+    if jax.default_backend() == "cpu":
+        # fallback/debug runs on the 1-core host: a full 91-scan replay
+        # takes hours; a short segment still yields a valid JSON line
+        n_warm, seg_len, n_segs = 3, 10, 1
     n_scans = n_warm + seg_len * n_segs
 
     world = syn.default_world(seed=0)
@@ -225,6 +283,10 @@ def main():
     }
 
     # ---- VIO + derived full-LVI bound ----
+    if os.environ.get("_LVI_BENCH_CHILD") == "1":
+        out["tpu_tunnel_down"] = True  # CPU fallback: LIO row only
+        print(json.dumps(out))
+        return
     try:
         _vio_section(out)
         # sequential single-chip bound: per 100 ms scan period the fused

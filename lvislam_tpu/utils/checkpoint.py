@@ -119,8 +119,12 @@ def save_map_service(state, out_dir: str, resolution: float = 0.0):
     write_pcd(os.path.join(out_dir, "CornerMap.pcd"), corner)
     write_pcd(os.path.join(out_dir, "SurfMap.pcd"), surf)
     if len(corner) + len(surf):
-        write_pcd(
-            os.path.join(out_dir, "GlobalMap.pcd"),
-            np.concatenate([corner, surf]) if len(corner) else surf,
-        )
+        gmap = np.concatenate([corner, surf]) if len(corner) else surf
+        write_pcd(os.path.join(out_dir, "GlobalMap.pcd"), gmap)
+        # top-down render — the RViz global-map + path view
+        # (`visualizeGlobalMapThread`, `mapOptimization.cpp:421-510`)
+        from .debugviz import draw_map_topdown, save_ppm
+
+        save_ppm(os.path.join(out_dir, "GlobalMap_topdown.ppm"),
+                 draw_map_topdown(gmap, trajectory=kt))
     return dict(n_keyframes=n, n_corner=len(corner), n_surf=len(surf))

@@ -112,3 +112,55 @@ def draw_depth_overlay(img, uv, depth, valid, d_max=20.0) -> np.ndarray:
             color = np.array([0.5, 0.5, 0.5], np.float32)
         _draw_cross(rgb, uv[i, 0], uv[i, 1], color, r=3)
     return rgb
+
+
+def draw_map_topdown(
+    map_xyz: np.ndarray,
+    map_valid: np.ndarray | None = None,
+    trajectory: np.ndarray | None = None,
+    size: int = 800,
+    margin: float = 1.0,
+) -> np.ndarray:
+    """Top-down global-map render — the counterpart of the reference's
+    RViz global-map cloud + path topics (`visualizeGlobalMapThread` /
+    `publishGlobalMap`, `mapOptimization.cpp:421-510`, and the trajectory
+    path of `publishFrames`). Points shaded by height (low=dark blue,
+    high=yellow-green); trajectory drawn red over the cloud.
+
+    map_xyz: (N, 3) world-frame points; trajectory: (T, 3) positions.
+    Returns (size, size, 3) float RGB for `save_ppm`.
+    """
+    pts = np.asarray(map_xyz, np.float32).reshape(-1, 3)
+    if map_valid is not None:
+        pts = pts[np.asarray(map_valid).reshape(-1)]
+    pts = pts[np.isfinite(pts).all(-1)]
+    tr = None
+    if trajectory is not None:
+        tr = np.asarray(trajectory, np.float32).reshape(-1, 3)
+    allp = pts if tr is None or not len(tr) else np.concatenate([pts, tr])
+    canvas = np.zeros((size, size, 3), np.float32)
+    if not len(allp):
+        return canvas
+    lo = allp[:, :2].min(0) - margin
+    hi = allp[:, :2].max(0) + margin
+    scale = (size - 1) / max(float((hi - lo).max()), 1e-6)
+
+    def to_px(xy):
+        p = ((xy - lo) * scale).round().astype(int)
+        return np.clip(p[:, 0], 0, size - 1), np.clip(
+            size - 1 - p[:, 1], 0, size - 1)
+
+    if len(pts):
+        z = pts[:, 2]
+        z0, z1 = np.percentile(z, [5, 95])
+        m = np.clip((z - z0) / max(z1 - z0, 1e-6), 0, 1)[:, None]
+        col = (1 - m) * np.array([[0.15, 0.25, 0.55]]) + m * np.array(
+            [[0.65, 0.85, 0.25]])
+        xs, ys = to_px(pts[:, :2])
+        canvas[ys, xs] = np.maximum(canvas[ys, xs], col.astype(np.float32))
+    if tr is not None and len(tr) > 1:
+        xs, ys = to_px(tr[:, :2])
+        red = np.array([1.0, 0.15, 0.15], np.float32)
+        for i in range(len(xs) - 1):
+            _draw_line(canvas, xs[i], ys[i], xs[i + 1], ys[i + 1], red)
+    return canvas

@@ -54,3 +54,24 @@ def test_overlays_render(tmp_path):
     assert d.shape == (60, 80, 3)
     dv.save_ppm(str(tmp_path / "t.ppm"), tr)
     assert os.path.getsize(str(tmp_path / "t.ppm")) > 100
+
+
+def test_draw_map_topdown(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    pts[:50] = np.nan  # non-finite points must be dropped
+    valid = np.ones(2000, bool)
+    traj = np.stack([np.linspace(-4, 4, 30), np.sin(np.linspace(0, 3, 30)),
+                     np.zeros(30)], -1)
+    img = dv.draw_map_topdown(pts, valid, traj, size=256)
+    assert img.shape == (256, 256, 3) and np.isfinite(img).all()
+    # cloud pixels land (green-ish channel) and trajectory drew red pixels
+    assert (img[..., 2] > 0).sum() > 200
+    red = (img[..., 0] > 0.9) & (img[..., 1] < 0.3)
+    assert red.sum() >= 30
+    dv.save_ppm(str(tmp_path / "map.ppm"), img)
+    assert (tmp_path / "map.ppm").stat().st_size > 100
+
+def test_draw_map_topdown_empty():
+    img = dv.draw_map_topdown(np.zeros((0, 3)))
+    assert img.shape == (800, 800, 3) and float(img.sum()) == 0.0
