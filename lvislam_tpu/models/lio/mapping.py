@@ -852,8 +852,24 @@ def _loop_icp(state: LioMapState, cur, cand, caps: LioCaps, params: LioParams):
         q = state.kf_quat[sub_idx]
         tgt = (lie.quat_rotate(q[:, None, :], sub_pts) + t[:, None, :]).reshape(-1, 3)
         tgtv = sub_val.reshape(-1)
+        # center=cand pose: on capacity overflow keep the voxels nearest the
+        # candidate — a key-ordered drop keeps a spatially biased slab and
+        # ICP then sees a target with no overlap (fitness ~5 m on honest
+        # revisits; found by the fused loop test)
+        cand_t = state.kf_trans[cand]
         tgt_ds, tgt_val, _ = pc.voxel_downsample(
-            tgt, tgtv, params.mappingSurfLeafSize, caps.loop_submap
+            tgt, tgtv, params.mappingSurfLeafSize, caps.loop_submap,
+            center=cand_t,
+        )
+        # PCL's fitness is over an UNBOUNDED submap; ours is capacity-bound.
+        # Source points beyond the kept submap's coverage radius have no
+        # possible correspondence — capacity artifacts, not misalignment —
+        # so exclude them from the ICP/fitness (no-op when unsaturated:
+        # r_cov then spans the full ±N-keyframe submap).
+        d_tgt = jnp.linalg.norm(tgt_ds - cand_t[None, :], axis=-1)
+        r_cov = jnp.max(jnp.where(tgt_val, d_tgt, 0.0)) - params.mappingSurfLeafSize
+        srcv = srcv & (
+            jnp.linalg.norm(src_w - cand_t[None, :], axis=-1) <= r_cov
         )
 
         res = icp_ops.icp_point2point(

@@ -244,22 +244,37 @@ def voxel_downsample(
     leaf: float,
     capacity: int,
     intensity: jax.Array | None = None,
+    center: jax.Array | None = None,
 ):
     """PCL VoxelGrid equivalent: centroid of the points in each occupied
     voxel. Sort-based segment mean — exact, deterministic, fixed-shape.
 
     Returns (xyz_out (capacity,3), valid_out (capacity,), intensity_out).
-    Voxels beyond `capacity` are dropped (sorted by voxel key).
+    Voxels beyond `capacity` are dropped — by voxel key order, or, when
+    `center` (3,) is given, FARTHEST-from-center first (lexsort on the
+    quantized voxel-center distance): the capacity-overflow behavior the
+    loop-closure submap needs, where the PCL original is unbounded
+    (`performLoopClosure` 0.4 m leaf, `mapOptimization.cpp:549-628`) and a
+    key-ordered drop would keep a spatially biased slab of the map.
 
     Small inputs (P <= 4096) dispatch to the sort-free dense path — a TPU
     argsort costs ~0.5 ms even at P=2048, while the (P, P) key-equality
     matmul is tens of microseconds. Same centroids; output ordered by first
     occurrence instead of key order (consumers treat the result as a set).
     """
-    if xyz.shape[0] <= 4096:
+    if center is None and xyz.shape[0] <= 4096:
         return _voxel_downsample_dense(xyz, valid, leaf, capacity, intensity)
     keys = _voxel_keys(xyz, valid, leaf)
-    order = jnp.argsort(keys)
+    if center is not None:
+        # distance of each point's VOXEL CENTER to `center`, in leaf units —
+        # identical for every point of a voxel, so segments stay contiguous
+        c = jnp.floor(xyz / leaf) + 0.5
+        d = jnp.linalg.norm(c * leaf - center[None, :], axis=-1)
+        dq = jnp.where(valid, (d / leaf).astype(jnp.int32),
+                       jnp.int32(2**31 - 1))
+        order = jnp.lexsort((keys, dq))  # primary: distance; ties: key
+    else:
+        order = jnp.argsort(keys)
     ks = keys[order]
     xs = xyz[order]
     vs = valid[order]

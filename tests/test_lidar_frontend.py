@@ -188,3 +188,30 @@ def test_select_edges_matches_greedy(rng):
     )
     want = greedy_edges_oracle(curv, col, suppressed, start, end, 1.0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_voxel_downsample_center_keeps_nearest_on_overflow():
+    """Capacity overflow with `center` must keep the voxels NEAREST the
+    center (the loop-closure submap semantics): a key-ordered drop keeps a
+    spatially biased slab and the ICP verifier then sees no overlap."""
+    rng = np.random.default_rng(3)
+    # 8192 points spread over a 40 m square: ~1600 occupied 1 m voxels,
+    # capacity 256 forces a deep overflow
+    xyz = rng.uniform(-20, 20, (8192, 3)).astype(np.float32)
+    xyz[:, 2] = 0.0
+    valid = np.ones(8192, bool)
+    center = np.array([5.0, -3.0, 0.0], np.float32)
+    out, ov, _ = pc.voxel_downsample(
+        jnp.asarray(xyz), jnp.asarray(valid), 1.0, 256,
+        center=jnp.asarray(center),
+    )
+    kept = np.asarray(out)[np.asarray(ov)]
+    assert len(kept) == 256
+    d = np.linalg.norm(kept - center, axis=-1)
+    # all kept voxels lie within the radius that ~256 nearest voxels span
+    # (256 voxels of 1 m^2 in-plane ~ a disc of radius sqrt(256/pi) ~ 9 m)
+    assert d.max() < 11.0, f"kept voxels reach {d.max():.1f} m from center"
+    # and they are centroids of their voxel (oracle spot check on one voxel)
+    v0 = np.floor(kept[0]).astype(int)
+    sel = (np.floor(xyz) == v0).all(-1)
+    np.testing.assert_allclose(kept[0], xyz[sel].mean(0), atol=1e-5)

@@ -1,16 +1,10 @@
 """Unit coverage for the rosbag replay entry point's PointCloud2 decoding
-(scripts/run_rosbag_lvi.py) — full-system replay is covered by
-test_lvi_system on synthetic streams."""
-
-import importlib.util
-import sys
+(now `utils.bag.pointcloud2_to_scan`, consumed by scripts/run_rosbag_lvi.py)
+— full-system replay is covered by test_lvi_system on synthetic streams."""
 
 import numpy as np
 
-spec = importlib.util.spec_from_file_location(
-    "run_rosbag_lvi", "scripts/run_rosbag_lvi.py")
-mod = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(mod)
+from lvislam_tpu.utils import bag
 
 
 def make_pc2(xyz, inten, ring, t):
@@ -35,7 +29,7 @@ def test_pc2_to_scan_velodyne_layout():
     inten = np.array([10, 20, 30], np.float32)
     ring = np.array([0, 7, 15], np.uint16)
     t = np.array([0.0, 0.05, 0.099], np.float32)
-    scan = mod.pc2_to_scan(make_pc2(xyz, inten, ring, t))
+    scan = bag.pointcloud2_to_scan(make_pc2(xyz, inten, ring, t))
     np.testing.assert_allclose(scan["xyz"], xyz)
     np.testing.assert_allclose(scan["intensity"], inten)
     np.testing.assert_array_equal(scan["ring"], [0, 7, 15])
@@ -47,6 +41,6 @@ def test_pc2_to_scan_missing_optional_fields():
     msg = make_pc2(xyz, [5.0], [3], [0.01])
     msg["fields"] = {k: v for k, v in msg["fields"].items()
                      if k in ("x", "y", "z")}
-    scan = mod.pc2_to_scan(msg)
+    scan = bag.pointcloud2_to_scan(msg)
     np.testing.assert_allclose(scan["xyz"], xyz)
     assert scan["ring"].tolist() == [0] and scan["time"].tolist() == [0.0]
