@@ -9,6 +9,22 @@ on (fast-compiling) CPU; mesh tests pass explicit CPU device lists.
 
 import os
 
+# XLA:CPU compile passes recurse deeply on the big fused programs; with the
+# default 8 MB stack a full-suite run (hundreds of accumulated compiles)
+# segfaulted inside backend_compile_and_load (observed twice, both in the
+# late soak test). pthread stacks take the soft RLIMIT_STACK at thread
+# creation, so raise it BEFORE jax spins up its compile pool.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 256 << 20
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except Exception:  # pragma: no cover
+    pass
+
 # Force, don't setdefault: the environment ships JAX_PLATFORMS=axon globally.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
