@@ -3,6 +3,10 @@ cycles over the fixed-capacity feature table — where FEJ/prior/shift
 bookkeeping bugs actually surface. Asserts sustained health, bounded
 drift, finite state, and table invariants at the end."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 import jax
@@ -16,7 +20,25 @@ from lvislam_tpu.utils import synthetic as syn
 
 
 @pytest.mark.slow
-def test_vio_soak_300_frames():
+def test_vio_soak_300_frames(request):
+    # Inside a full-suite process, run in a FRESH interpreter: XLA:CPU
+    # segfaults inside backend_compile_and_load after hundreds of
+    # accumulated compiles in one process (observed 3x, always here, never
+    # standalone — see NOTES.md). The child is this same test, solo.
+    if (os.environ.get("_LVI_ISOLATED") != "1"
+            and len(request.session.items) > 10):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", os.path.abspath(__file__),
+             "-q", "-p", "no:cacheprovider"],
+            env={**os.environ, "_LVI_ISOLATED": "1"},
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, (r.stdout[-3000:] + r.stderr[-1000:])
+        return
+    _soak_300_frames()
+
+
+def _soak_300_frames():
     CAPS = fm.VioCaps(window=8, max_features=96, imu_buf=32, frame_features=64)
     PARAMS = est.VioParams(g_norm=syn.GRAVITY, use_visual_init=False)
     CFG = ba.BAConfig(window=8, max_features=96, iterations=3,
