@@ -13,6 +13,8 @@ tunnel/dispatch latency of the axon TPU attachment.
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
 from functools import partial
 
 import numpy as np
@@ -51,6 +53,16 @@ class LioConfig:
     # (device-resident floor 8.4). Adds one batch of latency — irrelevant
     # for replay, which is why it is gated on upload_batch > 1.
     pipelined_uploads: bool = True
+    # replay mode only: run ALL device interaction (batch upload + batch
+    # dispatch) on ONE background worker thread. The axon tunnel blocks the
+    # calling thread ~25 ms per RPC (NOTES.md) — two RPCs per batch that the
+    # depth-1 pipeline above can only partially hide. RPC waits are IO-bound
+    # (the GIL is released), so a worker thread overlaps them with the main
+    # thread's packing AND the device's execution of the previous batch even
+    # on a 1-core host. Single worker + FIFO queue preserves ordering, so
+    # results are bit-identical to the synchronous path (tested in
+    # test_lio_integration.py). Takes precedence over pipelined_uploads.
+    async_dispatch: bool = True
 
 
 # Quantization of the per-scan upload (the axon tunnel moves ~26 MB/s, so
@@ -253,6 +265,10 @@ class LioPipeline:
         self._staged: list = []  # (buf, stamp) awaiting a batched upload
         # pipelined replay: an uploaded-but-not-yet-dispatched full batch
         self._resident: tuple | None = None
+        # async replay: device-RPC worker (started on first full batch)
+        self._work_q: queue.Queue | None = None
+        self._worker: threading.Thread | None = None
+        self._worker_exc: BaseException | None = None
         self._step = partial(
             lio_full_step,
             n_scan=cfg.n_scan,
@@ -325,9 +341,17 @@ class LioPipeline:
         return out
 
     def _ship_full_batch(self):
-        """Upload the staged full batch; dispatch it now, or — pipelined
-        mode — hold it resident and dispatch the PREVIOUS batch, so this
-        upload's tunnel RPC rides under that batch's device execution."""
+        """Hand the staged full batch to the device. Async mode: enqueue the
+        host buffers for the RPC worker (upload + dispatch happen off the
+        main thread). Pipelined mode: upload now, hold resident, dispatch the
+        PREVIOUS batch so this upload's tunnel RPC rides under that batch's
+        device execution. Plain mode: upload + dispatch inline."""
+        if self.cfg.async_dispatch:
+            rows = [b for b, _ in self._staged]
+            stamps = tuple(st for _, st in self._staged)
+            self._staged = []
+            self._submit(rows, stamps)
+            return
         arr = jnp.asarray(np.stack([b for b, _ in self._staged]))
         stamps = tuple(st for _, st in self._staged)
         self._staged = []
@@ -339,6 +363,51 @@ class LioPipeline:
             self._dispatch_resident()
         self._resident = (arr, stamps)
 
+    def _submit(self, rows: list, stamps: tuple):
+        if self._worker is None:
+            self._work_q = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="lio-rpc-worker", daemon=True
+            )
+            self._worker.start()
+        self._work_q.put((rows, stamps))
+
+    def _worker_loop(self):
+        """Sequential device interaction for enqueued batches. Owns
+        `self.state` while the queue is non-empty — the main thread only
+        touches state after `_drain_worker()` (every flush())."""
+        while True:
+            item = self._work_q.get()
+            try:
+                if item is None:
+                    return
+                if self._worker_exc is not None:
+                    continue  # drain remaining items after a failure
+                rows, stamps = item
+                arr = jnp.asarray(np.stack(rows))
+                self.state, x6s = self._batch_step(self.state, arr)
+                self.trajectory.append((stamps, x6s))
+            except BaseException as e:  # surfaced at the next flush()
+                self._worker_exc = e
+            finally:
+                self._work_q.task_done()
+
+    def _drain_worker(self):
+        if self._work_q is not None:
+            self._work_q.join()
+        if self._worker_exc is not None:
+            exc, self._worker_exc = self._worker_exc, None
+            raise exc
+
+    def close(self):
+        """Stop the RPC worker (idempotent). Optional — the worker is a
+        daemon thread that idles on an empty queue otherwise."""
+        if self._worker is not None:
+            self._work_q.put(None)
+            self._worker.join()
+            self._worker = None
+            self._work_q = None
+
     def _dispatch_resident(self):
         arr, stamps = self._resident
         self._resident = None
@@ -347,16 +416,19 @@ class LioPipeline:
         self.trajectory.append((stamps, x6s))
 
     def flush(self):
-        """Drain the pipeline: dispatch the held-back resident batch, then
-        ship any trailing partial batch (padded to the compiled (K, L)
-        shape, dispatching only the real rows). Replay costs two tunnel
-        RPCs per `upload_batch` scans instead of two per scan."""
+        """Drain the pipeline: wait out the RPC worker / dispatch the
+        held-back resident batch, then ship any trailing partial batch
+        (padded to the compiled (K, L) shape, dispatching only the real
+        rows). Replay costs two tunnel RPCs per `upload_batch` scans instead
+        of two per scan — and in async mode they ride a worker thread."""
+        self._drain_worker()
         if self._resident is not None:
             self._dispatch_resident()
         if not self._staged:
             return
         if len(self._staged) == self.cfg.upload_batch:
             self._ship_full_batch()
+            self._drain_worker()
             if self._resident is not None:
                 self._dispatch_resident()
             return

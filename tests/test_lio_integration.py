@@ -28,7 +28,8 @@ SMALL_CAPS = mapping.LioCaps(
 )
 
 
-def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1, **param_overrides):
+def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1,
+            async_dispatch=True, pipelined_uploads=True, **param_overrides):
     world = syn.default_world(seed=seed)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     cfg = LioConfig(
@@ -46,6 +47,8 @@ def run_lio(duration=6.0, rate=10.0, seed=0, upload_batch=1, **param_overrides):
         ),
         loop_every_n_scans=20,
         upload_batch=upload_batch,
+        async_dispatch=async_dispatch,
+        pipelined_uploads=pipelined_uploads,
     )
     pipe = LioPipeline(cfg)
     imu_rate = 200.0
@@ -95,12 +98,19 @@ def test_lio_tracks_trajectory(lio_run):
 
 def test_lio_batched_upload_equivalence():
     """`upload_batch>1` (one transfer per K scans, rows indexed on device)
-    must be bit-identical to per-scan uploads."""
-    pipe1, _, _ = run_lio(duration=1.5)
-    pipe2, _, _ = run_lio(duration=1.5, upload_batch=4)
-    np.testing.assert_array_equal(
-        pipe1.trajectory_array(), pipe2.trajectory_array()
-    )
+    must be bit-identical to per-scan uploads, in every dispatch mode:
+    async RPC-worker thread, depth-1 pipelined, and plain inline. 1.5 s at
+    10 Hz = 15 scans = 3 full batches of 4 + a 3-row partial flush, so the
+    trailing-partial path is exercised too."""
+    ref = run_lio(duration=1.5)[0].trajectory_array()
+    for kw in (
+        dict(async_dispatch=True),
+        dict(async_dispatch=False, pipelined_uploads=True),
+        dict(async_dispatch=False, pipelined_uploads=False),
+    ):
+        pipe, _, _ = run_lio(duration=1.5, upload_batch=4, **kw)
+        np.testing.assert_array_equal(ref, pipe.trajectory_array())
+        pipe.close()
 
 
 def test_lio_determinism():
