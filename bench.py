@@ -24,13 +24,18 @@ import time
 import numpy as np
 
 
-def _backend_alive(deadline_s: float = 180.0) -> bool:
+def _backend_alive(deadline_s: float | None = None) -> bool:
     """The axon TPU tunnel can wedge (NOTES.md): any device op then hangs
     forever, including backend init. Probe it in a CHILD process with a hard
     deadline so bench.py always emits its JSON line — on a dead tunnel the
     parent re-execs itself onto the CPU backend instead of hanging."""
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return True  # no tunnel plugin registered: default backend is local
+    if deadline_s is None:
+        # a cold remote-compile helper has been measured taking ~6 min for
+        # the FIRST trivial program after a VM reboot; default generous,
+        # overridable for quick checks
+        deadline_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "600"))
     import subprocess
     import sys
 
