@@ -55,7 +55,12 @@ class BAConfig:
     # (jnp.linalg.qr is row-panel-bound there) and what the reference's
     # Ceres effectively does, in f32 here; the VINS noise weights span a
     # mild dynamic range so the equilibrated Gram matrix stays
-    # well-conditioned (solver parity is tested).
+    # well-conditioned (solver parity is tested). "schur": cholesky plus
+    # analytic elimination of the inverse depths — the actual DENSE_SCHUR
+    # structure of the reference (`estimator.cpp:798` DENSE_SCHUR): each
+    # depth column hits only its own feature's projection rows, so the
+    # whole depth Jacobian block is ONE jvp and the dense solve shrinks
+    # from d_total to d_state dims.
     solver: str = "qr"
 
     @property
@@ -326,6 +331,60 @@ def solve(
             )
 
         r = res(jnp.zeros(D, ws.Ps.dtype))
+        if cfg.solver == "schur":
+            dt = ws.Ps.dtype
+            S, Fn = cfg.d_state, cfg.max_features
+            W1 = cfg.window + 1
+            n_pre = S + cfg.window * 15  # prior + IMU rows precede proj rows
+
+            # state-block Jacobian: jacfwd over the S state dims only
+            J_s = jax.jacfwd(
+                lambda d_s: res(jnp.concatenate([d_s, jnp.zeros(Fn, dt)]))
+            )(jnp.zeros(S, dt))  # (rows, S)
+            # depth-block Jacobian: depth columns are row-disjoint (each
+            # depth touches only its feature's projection rows), so J_d @ 1
+            # recovers every nonzero entry — one jvp, no F-wide jacfwd
+            _, Jd_rows = jax.jvp(
+                lambda d_d: res(jnp.concatenate([jnp.zeros(S, dt), d_d])),
+                (jnp.zeros(Fn, dt),), (jnp.ones(Fn, dt),),
+            )
+            Jd = Jd_rows[n_pre:].reshape(Fn, W1 * 2)
+            Js_proj = J_s[n_pre:].reshape(Fn, W1 * 2, S)
+            r_proj_rows = r[n_pre:].reshape(Fn, W1 * 2)
+
+            # Jacobi equilibration of the state columns (as in "cholesky")
+            col = jnp.linalg.norm(J_s, axis=0) + 1e-6
+            s = 1.0 / col
+            Js_sc = J_s * s[None, :]
+            A = Js_sc.T @ Js_sc  # (S, S)
+            g_s = Js_sc.T @ (-r)
+            C = jnp.sum(Jd * Jd, axis=1)  # (Fn,) diagonal depth block
+            B = jnp.einsum("fks,fk->sf", Js_proj * s[None, None, :], Jd)
+            g_d = jnp.sum(Jd * (-r_proj_rows), axis=1)
+            # LM damping: lam*I on the scaled state block; the depth block's
+            # scaled damping is lam*C (its own column norm²), i.e. C*(1+lam)
+            Cd = C * (1.0 + lam) + 1e-8
+            Hs = A - (B / Cd[None, :]) @ B.T + (lam + 1e-7) * jnp.eye(S, dtype=dt)
+            rhs = g_s - B @ (g_d / Cd)
+            L = jnp.linalg.cholesky(Hs)
+            y = jax.scipy.linalg.cho_solve((L, True), rhs)
+            d_s = s * y
+            d_d = (g_d - B.T @ y) / Cd
+            d = jnp.concatenate([d_s, d_d])
+            ws2 = _retract_window(ws, d[: cfg.d_state], cfg)
+            inv2 = inv_depth + jnp.where(
+                lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :]
+            )
+            new_cost, _ = eval_cost(ws2, inv2)
+            accept = new_cost < cost
+            ws_out = jax.tree.map(
+                lambda a, b_: jnp.where(accept, b_, a), ws, ws2
+            )
+            inv_out = jnp.where(accept, inv2, inv_depth)
+            lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
+            cost_out = jnp.where(accept, new_cost, cost)
+            return (ws_out, inv_out, lam_out, cost_out), cost_out
+
         J = jax.jacfwd(res)(jnp.zeros(D, ws.Ps.dtype))
         col = jnp.linalg.norm(J, axis=0) + 1e-6
         if cfg.solver == "cholesky":

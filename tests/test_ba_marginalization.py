@@ -166,7 +166,7 @@ def test_solver_parity_cholesky_vs_qr():
     ws_p = ws._replace(Ps=ws.Ps + 0.03, Vs=ws.Vs + 0.05)
 
     outs = {}
-    for solver in ("qr", "cholesky"):
+    for solver in ("qr", "cholesky", "schur"):
         cfg_s = dataclasses.replace(cfg, solver=solver, iterations=5)
         res = ba.solve(
             ws_p, table.inv_depth, table.obs, table.vel, table.obs_valid,
@@ -179,3 +179,11 @@ def test_solver_parity_cholesky_vs_qr():
         atol=2e-3,
     )
     assert float(outs["cholesky"].final_cost) < float(outs["qr"].final_cost) * 1.2
+    # the depth-eliminated (DENSE_SCHUR) path is algebraically the same
+    # damped normal-equation step — identical damping of the state block,
+    # Marquardt (column-norm²) damping of the diagonal depth block
+    np.testing.assert_allclose(
+        np.asarray(outs["schur"].ws.Ps), np.asarray(outs["qr"].ws.Ps),
+        atol=2e-3,
+    )
+    assert float(outs["schur"].final_cost) < float(outs["qr"].final_cost) * 1.2
