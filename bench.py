@@ -237,6 +237,50 @@ def _vio_section(out):
     return out
 
 
+def _imu_section(out):
+    """BASELINE config 1: IMU-only preintegration dead-reckoning on a 60 s
+    200 Hz synthetic stream (the `imuPreintegration` predict path,
+    `imuPreintegration.cpp:494-499`) — one `navstate_predict` lax.scan over
+    the whole buffer, timed on device."""
+    import jax.numpy as jnp
+    from lvislam_tpu.ops import preintegration as pre
+    from lvislam_tpu.utils import synthetic as syn
+
+    dur, hz = 60.0, 200
+    traj = syn.figure8_trajectory(scale=3.0, period=40.0)
+    ts = (np.arange(int(dur * hz)) + 1) / hz
+    gyrs, accs = traj.imu(ts)
+    dts = jnp.full(len(ts), np.float32(1.0 / hz))
+    accs = jnp.asarray(accs, jnp.float32)
+    gyrs = jnp.asarray(gyrs, jnp.float32)
+    G = jnp.array([0.0, 0.0, -9.805], jnp.float32)
+    p0, R0 = traj.pose(ts[:1])
+    v0 = (traj.pose(ts[:1] + 1e-4)[0] - p0) / 1e-4
+    nav0 = pre.NavState(
+        pos=jnp.asarray(p0[0], jnp.float32),
+        quat=jnp.asarray(lie_mat_to_quat(R0[0]), jnp.float32),
+        vel=jnp.asarray(v0[0], jnp.float32),
+        ba=jnp.zeros(3), bg=jnp.zeros(3),
+    )
+
+    def dr_step(c):
+        nav = pre.navstate_predict(
+            nav0.replace(pos=nav0.pos + c * 1e-12), dts, accs, gyrs, G
+        )
+        return nav.pos[0]
+
+    ms = _timeit_device(dr_step, reps=4)
+    out["imu_dead_reckon_ms_per_60s"] = round(ms, 2)
+    out["imu_dead_reckon_rtf"] = round(dur / (ms / 1e3), 1)
+
+
+def lie_mat_to_quat(R):
+    from scipy.spatial.transform import Rotation as Rsc
+
+    q = Rsc.from_matrix(R).as_quat()  # xyzw
+    return np.array([q[3], q[0], q[1], q[2]], np.float32)
+
+
 def main():
     _ensure_live_backend()
     import jax
@@ -293,6 +337,7 @@ def main():
         print(json.dumps(out))
         return
     try:
+        _imu_section(out)
         _vio_section(out)
         # sequential single-chip bound: per 100 ms scan period the fused
         # system does one LIO scan + one camera frame (tracker + VIO step)

@@ -325,7 +325,67 @@ def navstate_predict(
     `gravity_vec` is the world gravity acceleration as it appears in
     a_world = R (a_meas - ba) + g, i.e. typically (0, 0, -9.8) for a
     z-up world with accelerometers measuring specific force.
+
+    Parallel-prefix form: a sequential `lax.scan` of N tiny steps is
+    latency-bound on TPU (~27 us/step through the tunnel-attached chip).
+    Quaternion normalization commutes exactly with the Hamilton product
+    (norm multiplicativity), so composing the per-sample delta quaternions
+    with one `associative_scan` and normalizing afterwards reproduces the
+    per-step-normalized sequential recursion; velocities/positions then
+    reduce to cumulative sums. Bit-level parity with the sequential oracle
+    is tested (`tests/test_preintegration.py`).
     """
+    prev_a = accs[0] if prev_acc is None else prev_acc
+    prev_g = gyrs[0] if prev_gyr is None else prev_gyr
+
+    # orientation chain: q_i = q0 * prod_{k<=i} delta_q(un_gyr_k dt_k)
+    g_prev = jnp.concatenate([prev_g[None], gyrs[:-1]], axis=0)
+    un_gyr = 0.5 * (g_prev + gyrs) - state.bg[None]
+    dq = jax.vmap(lie.delta_q)(un_gyr * dts[:, None])  # (N, 4)
+    qs = jax.lax.associative_scan(_quat_mul_batch, dq)
+    qs = jax.vmap(lie.quat_multiply, (None, 0))(state.quat, qs)
+    qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)  # (N, 4)
+    q_with0 = jnp.concatenate([state.quat[None], qs], axis=0)  # (N+1, 4)
+
+    # midpoint world acceleration: un_acc_i = (w_{i-1} + w_i)/2 with
+    # w_i = R(q_i)(a_i - ba) + g and w_{-1} from (q0, prev_acc)
+    a_meas = jnp.concatenate([prev_a[None], accs], axis=0) - state.ba[None]
+    w = lie.quat_rotate(q_with0, a_meas) + gravity_vec[None]  # (N+1, 3)
+    un_acc = 0.5 * (w[:-1] + w[1:])  # (N, 3)
+
+    dv = un_acc * dts[:, None]
+    v_cum = state.vel[None] + jnp.cumsum(dv, axis=0)  # v_i after sample i
+    v_prev = jnp.concatenate([state.vel[None], v_cum[:-1]], axis=0)
+    pos = state.pos + jnp.sum(
+        v_prev * dts[:, None] + 0.5 * un_acc * (dts * dts)[:, None], axis=0
+    )
+    return state.replace(pos=pos, quat=qs[-1], vel=v_cum[-1])
+
+
+def _quat_mul_batch(a, b):
+    """Batched Hamilton product a*b over trailing axis 4."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def navstate_predict_seq(
+    state: NavState,
+    dts: jax.Array,
+    accs: jax.Array,
+    gyrs: jax.Array,
+    gravity_vec: jax.Array,
+    prev_acc: jax.Array | None = None,
+    prev_gyr: jax.Array | None = None,
+) -> NavState:
+    """Sequential `lax.scan` oracle for `navstate_predict` (the literal
+    per-sample recursion of `imuPreintegration.cpp:494-499`); kept for the
+    parity test and as documentation of the recursion being parallelized."""
     prev_a = accs[0] if prev_acc is None else prev_acc
     prev_g = gyrs[0] if prev_gyr is None else prev_gyr
 

@@ -27,6 +27,12 @@ except Exception:  # pragma: no cover
 
 # Force, don't setdefault: the environment ships JAX_PLATFORMS=axon globally.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compile cache: repeat suite runs LOAD programs instead of
+# re-running the XLA:CPU pass pipeline — that is both the big wall-time
+# cost on this 1-core box and where the rare late-run SIGSEGV lives
+# (inside backend_compile_and_load after hundreds of accumulated
+# compiles). Fewer real compiles = fewer rolls of that die.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -81,6 +87,19 @@ def pytest_collection_modifyitems(config, items):
         mod = getattr(it.module, "__name__", "")
         if mod in _SMOKE_MODULES and "slow" not in it.keywords:
             it.add_marker(pytest.mark.smoke)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop in-memory jit caches between modules. Accumulated live
+    executables/LLVM code from ~100 compile-heavy tests are the prime
+    suspect for the late-run SIGSEGV in backend_compile_and_load; modules
+    rarely share traced programs, so the recompile cost is ~nil (and with
+    the persistent cache above, re-lowering is a disk load anyway)."""
+    yield
+    import jax
+
+    jax.clear_caches()
 
 
 @pytest.fixture

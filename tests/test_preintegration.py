@@ -167,3 +167,27 @@ def test_gyro_rotation_table(rng):
         got = Rsc.from_quat(np.roll(table[i + 1], -1))
         err = (R.inv() * got).magnitude()
         assert err < 1e-3
+
+
+def test_navstate_predict_parallel_matches_sequential(rng):
+    """The associative-scan dead-reckoning must reproduce the literal
+    per-sample recursion (padding rows, biases, prev-sample seeds and all)."""
+    dts, accs, gyrs = synth_imu(rng, n=64)
+    dts[50:] = 0.0  # zero-dt padding tail, as the pipelines pad
+    nav0 = pre.NavState(
+        pos=jnp.asarray(rng.normal(size=3), jnp.float32),
+        quat=jnp.asarray(lie.quat_normalize(jnp.asarray(rng.normal(size=4), jnp.float32))),
+        vel=jnp.asarray(rng.normal(size=3), jnp.float32),
+        ba=jnp.asarray(0.05 * rng.normal(size=3), jnp.float32),
+        bg=jnp.asarray(0.01 * rng.normal(size=3), jnp.float32),
+    )
+    G = jnp.array([0.0, 0.0, -9.805], jnp.float32)
+    kw = dict(
+        prev_acc=jnp.asarray(rng.normal(size=3), jnp.float32),
+        prev_gyr=jnp.asarray(0.3 * rng.normal(size=3), jnp.float32),
+    )
+    a = pre.navstate_predict(nav0, jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs), G, **kw)
+    b = pre.navstate_predict_seq(nav0, jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs), G, **kw)
+    np.testing.assert_allclose(np.asarray(a.quat), np.asarray(b.quat), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=2e-4)
