@@ -302,25 +302,30 @@ def solve(
     D = cfg.d_total
 
     def eval_cost(ws_, inv_):
+        # one projection sweep serves both the robust weights and the cost
+        # (full_residual at d=0 would redo the identical sweep)
         r0_proj, pmask = projection_residuals(
             ws_, inv_, table_obs, table_vel, table_obs_valid,
             table_start, feat_valid, td0, cfg, rt=table_rt,
         )
         w = robust_weights(r0_proj, pmask, cfg.cauchy_c)
-        r = full_residual(
-            jnp.zeros(D, ws_.Ps.dtype), ws_, inv_, table_obs, table_vel,
-            table_obs_valid, table_start, feat_valid, lidar_flag, pints,
-            frame_valid, prior, gravity, td0, cfg, proj_weights=w,
-            table_rt=table_rt,
+        r_prior = prior.r + prior.J @ state_minus(ws_, prior.ws_bar, cfg)
+        r_imu = imu_residuals(ws_, pints, frame_valid, gravity, cfg).reshape(-1)
+        r = jnp.concatenate(
+            [r_prior, r_imu, (r0_proj * w[..., None]).reshape(-1)]
         )
         return jnp.sum(r * r), w
 
     def it(carry, _):
         """Adaptive Levenberg-Marquardt step (the Ceres DOGLEG-timeboxed
-        equivalent): reject cost-increasing steps, scale the damping."""
-        ws, inv_depth, lam, cost = carry
+        equivalent): reject cost-increasing steps, scale the damping.
 
-        _, w_proj = eval_cost(ws, inv_depth)
+        The robust weights ride in the carry: the weights at the incoming
+        state are exactly what the previous iteration's accept/reject
+        evaluation already computed (accepted candidate or unchanged
+        state), so re-deriving them here would be a redundant full
+        projection-residual sweep."""
+        ws, inv_depth, lam, cost, w_proj = carry
 
         def res(d):
             return full_residual(
@@ -330,17 +335,19 @@ def solve(
                 table_rt=table_rt,
             )
 
-        r = res(jnp.zeros(D, ws.Ps.dtype))
         if cfg.solver == "schur":
             dt = ws.Ps.dtype
             S, Fn = cfg.d_state, cfg.max_features
             W1 = cfg.window + 1
             n_pre = S + cfg.window * 15  # prior + IMU rows precede proj rows
 
-            # state-block Jacobian: jacfwd over the S state dims only
-            J_s = jax.jacfwd(
-                lambda d_s: res(jnp.concatenate([d_s, jnp.zeros(Fn, dt)]))
-            )(jnp.zeros(S, dt))  # (rows, S)
+            # state-block Jacobian via linearize: ONE primal pass shared
+            # with the residual readout, then S batched tangent passes
+            r, jvp_s = jax.linearize(
+                lambda d_s: res(jnp.concatenate([d_s, jnp.zeros(Fn, dt)])),
+                jnp.zeros(S, dt),
+            )
+            J_s = jax.vmap(jvp_s)(jnp.eye(S, dtype=dt)).T  # (rows, S)
             # depth-block Jacobian: depth columns are row-disjoint (each
             # depth touches only its feature's projection rows), so J_d @ 1
             # recovers every nonzero entry — one jvp, no F-wide jacfwd
@@ -375,7 +382,7 @@ def solve(
             inv2 = inv_depth + jnp.where(
                 lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :]
             )
-            new_cost, _ = eval_cost(ws2, inv2)
+            new_cost, w_new = eval_cost(ws2, inv2)
             accept = new_cost < cost
             ws_out = jax.tree.map(
                 lambda a, b_: jnp.where(accept, b_, a), ws, ws2
@@ -383,9 +390,11 @@ def solve(
             inv_out = jnp.where(accept, inv2, inv_depth)
             lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
             cost_out = jnp.where(accept, new_cost, cost)
-            return (ws_out, inv_out, lam_out, cost_out), cost_out
+            w_out = jnp.where(accept, w_new, w_proj)
+            return (ws_out, inv_out, lam_out, cost_out, w_out), cost_out
 
-        J = jax.jacfwd(res)(jnp.zeros(D, ws.Ps.dtype))
+        r, jvp_fn = jax.linearize(res, jnp.zeros(D, ws.Ps.dtype))
+        J = jax.vmap(jvp_fn)(jnp.eye(D, dtype=ws.Ps.dtype)).T
         col = jnp.linalg.norm(J, axis=0) + 1e-6
         if cfg.solver == "cholesky":
             # damped normal equations, Jacobi-equilibrated: with column
@@ -409,7 +418,7 @@ def solve(
             )
         ws2 = _retract_window(ws, d[: cfg.d_state], cfg)
         inv2 = inv_depth + jnp.where(lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :])
-        new_cost, _ = eval_cost(ws2, inv2)
+        new_cost, w_new = eval_cost(ws2, inv2)
         accept = new_cost < cost
         ws_out = jax.tree.map(
             lambda a, b_: jnp.where(accept, b_, a), ws, ws2
@@ -417,11 +426,12 @@ def solve(
         inv_out = jnp.where(accept, inv2, inv_depth)
         lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
         cost_out = jnp.where(accept, new_cost, cost)
-        return (ws_out, inv_out, lam_out, cost_out), cost_out
+        w_out = jnp.where(accept, w_new, w_proj)
+        return (ws_out, inv_out, lam_out, cost_out, w_out), cost_out
 
-    cost0, _ = eval_cost(ws, inv_depth)
-    (ws, inv_depth, _, final_cost), _ = jax.lax.scan(
-        it, (ws, inv_depth, jnp.asarray(1e-4, ws.Ps.dtype), cost0), None,
+    cost0, w0 = eval_cost(ws, inv_depth)
+    (ws, inv_depth, _, final_cost, _), _ = jax.lax.scan(
+        it, (ws, inv_depth, jnp.asarray(1e-4, ws.Ps.dtype), cost0, w0), None,
         length=cfg.iterations,
     )
     return BAResult(ws=ws, inv_depth=inv_depth, final_cost=final_cost)
