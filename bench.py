@@ -222,11 +222,21 @@ def _vio_section(out):
 
     params = ft.TrackerParams(max_cnt=150, min_dist=20)
     cam = CameraIntrinsics()  # the shipped MEI 1024x576 rig
-    img = jnp.asarray(
-        np.random.default_rng(0).random((576, 1024)), jnp.float32
-    )
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((576, 1024)), jnp.float32)
     st = ft.tracker_init(576, 1024, params)
-    st = st._replace(initialized=jnp.array(True), prev_img=img)
+    # seed a FULL live track set: an empty tracker skips no compute (fixed
+    # shapes) but measures the KLT/RANSAC path on degenerate all-zero
+    # points; live points are the honest operating point
+    pts = jnp.asarray(np.stack([
+        rng.uniform(20, 1004, params.max_cnt),
+        rng.uniform(20, 556, params.max_cnt),
+    ], -1), jnp.float32)
+    st = ft.seed_prev_image(st, img, params)._replace(
+        pts=pts,
+        ids=jnp.arange(params.max_cnt, dtype=jnp.int32),
+        track_cnt=jnp.full(params.max_cnt, 5, jnp.int32),
+    )
 
     def tr_step(c):
         st2, tout = ft.tracker_step(st, img + c * 1e-9, jnp.float32(1.0),

@@ -54,7 +54,11 @@ class TrackerParams:
 
 
 class TrackerState(NamedTuple):
-    prev_img: jax.Array  # (H, W)
+    # previous (equalized) frame as its full LK pyramid — cached so each
+    # step builds only the NEW frame's pyramid (the prev one was already
+    # built when that frame was the current one; rebuilding it doubled the
+    # pyramid cost, ~1.8 ms/frame at 1024x576)
+    prev_pyr: tuple  # (levels+1) of (H/2^l, W/2^l)
     pts: jax.Array  # (N, 2) pixels
     ids: jax.Array  # (N,) int32, -1 = free slot
     track_cnt: jax.Array  # (N,)
@@ -75,8 +79,12 @@ class TrackerOutput(NamedTuple):
 
 def tracker_init(height: int, width: int, params: TrackerParams, dtype=jnp.float32):
     N = params.max_cnt
+    shapes, h, w = [(height, width)], height, width
+    for _ in range(params.klt_levels):
+        h, w = (h + 1) // 2, (w + 1) // 2  # pyr_down keeps ceil(n/2)
+        shapes.append((h, w))
     return TrackerState(
-        prev_img=jnp.zeros((height, width), dtype),
+        prev_pyr=tuple(jnp.zeros(s, dtype) for s in shapes),
         pts=jnp.zeros((N, 2), dtype),
         ids=jnp.full(N, -1, jnp.int32),
         track_cnt=jnp.zeros(N, jnp.int32),
@@ -84,6 +92,17 @@ def tracker_init(height: int, width: int, params: TrackerParams, dtype=jnp.float
         next_id=jnp.int32(0),
         prev_time=jnp.float32(-1.0),
         initialized=jnp.array(False),
+    )
+
+
+def seed_prev_image(state: TrackerState, img: jax.Array, params: TrackerParams):
+    """Install `img` as the previous frame (equalized + pyramid), for tests
+    and benches that seed a mid-stream tracker state directly."""
+    if params.equalize:
+        img = imops.clahe(img)
+    return state._replace(
+        prev_pyr=tuple(imops.build_pyramid(img, params.klt_levels)),
+        initialized=jnp.array(True),
     )
 
 
@@ -103,11 +122,12 @@ def tracker_step(
 
     occupied = state.ids >= 0
 
-    # --- LK track forward ---
+    # --- LK track forward (prev pyramid cached in state) ---
+    next_pyr = tuple(imops.build_pyramid(img, params.klt_levels))
     res = klt.track(
-        state.prev_img, img, state.pts, occupied & state.initialized,
+        None, img, state.pts, occupied & state.initialized,
         levels=params.klt_levels, half=params.klt_half, iters=params.klt_iters,
-        patch=params.klt_patch,
+        patch=params.klt_patch, prev_pyr=state.prev_pyr, next_pyr=next_pyr,
     )
     pts = res.pts
     tracked = res.status
@@ -169,7 +189,7 @@ def tracker_step(
     next_id = state.next_id + jnp.sum(take).astype(jnp.int32)
 
     new_state = TrackerState(
-        prev_img=img,
+        prev_pyr=next_pyr,
         pts=pts,
         ids=ids,
         track_cnt=track_cnt,

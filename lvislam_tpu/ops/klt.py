@@ -164,7 +164,16 @@ def _track_level(
     P_next, _ = _row_block_patches(next_img, nc, S)
     nc_f = nc.astype(dtype)
 
-    def body(pts, _):
+    def cond(carry):
+        # cv::TermCriteria(COUNT | EPS, iters, 0.01): stop when every live
+        # point's last step fell under eps — the typical frame converges in
+        # ~5-10 iterations, and the fixed-30 scan was pure latency-bound
+        # waste on TPU (120 sequential level-iterations per frame)
+        _, it, max_step = carry
+        return (it < iters) & (max_step > 0.01)
+
+    def body(carry):
+        pts, it, _ = carry
         d = pts - nc_f  # window center in patch coords
         Sy = _lin_sample_mats(d[:, 1], k, S, half, dtype)
         Sx = _lin_sample_mats(d[:, 0], k, S, half, dtype)
@@ -179,9 +188,13 @@ def _track_level(
         # keep the iterate inside the sampled patch
         lo = nc_f + (hS - margin)
         hi = nc_f + (hS + margin)
-        return jnp.clip(pts + step, lo, hi), None
+        new_pts = jnp.clip(pts + step, lo, hi)
+        max_step = jnp.max(jnp.abs(new_pts - pts))
+        return new_pts, it + 1, max_step
 
-    pts, _ = jax.lax.scan(body, guess_pts, None, length=iters)
+    pts, _, _ = jax.lax.while_loop(
+        cond, body, (guess_pts, jnp.int32(0), jnp.asarray(jnp.inf, dtype))
+    )
 
     inb = (
         (pts[:, 0] > half) & (pts[:, 0] < W - 1 - half)
@@ -202,7 +215,7 @@ def _track_level(
 
 @partial(jax.jit, static_argnames=("levels", "half", "iters", "patch"))
 def track(
-    prev_img: jax.Array,  # (H, W) float
+    prev_img: jax.Array | None,  # (H, W) float; None iff prev_pyr given
     next_img: jax.Array,
     prev_pts: jax.Array,  # (N, 2) level-0 pixel coords
     valid: jax.Array,  # (N,)
@@ -210,19 +223,23 @@ def track(
     half: int = 10,  # 21x21 window
     iters: int = 30,
     patch: int = 32,  # S: per-level sampled neighborhood; margin = S/2-half-2
+    prev_pyr: tuple | None = None,  # precomputed pyramids (the tracker
+    next_pyr: tuple | None = None,  # caches the prev frame's across steps)
 ) -> KLTResult:
     """Pyramidal LK: coarse-to-fine over `levels`+1 images.
 
     `patch` bounds the per-level trackable displacement (margin =
     patch/2 - half - 2 px at the COARSEST level; larger inter-frame motion
     needs a bigger patch or more levels)."""
-    prev_pyr = imops.build_pyramid(prev_img, levels)
-    next_pyr = imops.build_pyramid(next_img, levels)
+    if prev_pyr is None:
+        prev_pyr = imops.build_pyramid(prev_img, levels)
+    if next_pyr is None:
+        next_pyr = imops.build_pyramid(next_img, levels)
 
     scale = 2.0**levels
     pts = prev_pts / scale
     status = valid
-    err = jnp.zeros(prev_pts.shape[0], prev_img.dtype)
+    err = jnp.zeros(prev_pts.shape[0], next_img.dtype)
     for lvl in range(levels, -1, -1):
         s = 2.0**lvl
         p_lvl = prev_pts / s
