@@ -166,7 +166,7 @@ def equalize_hist(img: jax.Array, n_bins: int = 256) -> jax.Array:
 
 
 def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
-          n_bins: int = 256) -> jax.Array:
+          n_bins: int = 256, use_pallas: bool | None = None) -> jax.Array:
     """Contrast-limited adaptive histogram equalization (cv::CLAHE
     equivalent, `feature_tracker.cpp:86-92`: clipLimit 3.0, 8x8 tiles).
     Tile histograms are clipped + redistributed; per-pixel lookup bilinearly
@@ -174,23 +174,40 @@ def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
 
     TPU form: the per-pixel scatter histogram and the 4-tap CDF table
     gather (2.4M scattered taps, ~30 ms at 1024x576) are both replaced by a
-    `lax.scan` over bins — each iteration is one fused compare+reduce for
-    the histogram and one (H,T)@(T,T)@(T,W) CDF-field upsample matmul for
-    the application, all dense."""
+    loop over bins. On lane-friendly shapes that loop runs as Pallas
+    kernels with VMEM-resident accumulators (`ops.pallas_clahe`, one image
+    read total); otherwise as a `lax.scan` whose every iteration is one
+    fused compare+reduce for the histogram and one (H,T)@(T,T)@(T,W)
+    CDF-field upsample matmul for the application (~1.8 GB of HBM
+    accumulator traffic at 1024x576 — the fallback, not the fast path)."""
     H, W = img.shape
     th, tw = H // tiles, W // tiles
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and H % tiles == 0 and W % tiles == 0
+            and tw % 128 == 0 and th % 8 == 0 and tiles >= 3
+        )
     imgc = img[: th * tiles, : tw * tiles]
     x = jnp.clip(imgc, 0.0, 1.0) * (n_bins - 1)
-    # int8-coded bins (b - 128) keep the 256 compare passes at 1 B/pixel
-    b8 = (x.astype(jnp.int32) - 128).astype(jnp.int8)
-    b8t = b8.reshape(tiles, th, tiles, tw)
 
-    def hist_bin(_, b):
-        m = (b8t == (b - 128).astype(jnp.int8)).astype(jnp.float32)
-        return None, jnp.sum(m, axis=(1, 3))  # (tiles, tiles)
+    if use_pallas:
+        from . import pallas_clahe
 
-    _, hist = jax.lax.scan(hist_bin, None, jnp.arange(n_bins))  # (B, T, T)
-    hist = hist.reshape(n_bins, tiles * tiles).T
+        hist = pallas_clahe.tile_hist(
+            x.astype(jnp.int32), tiles=tiles, n_bins=n_bins
+        )  # (T*T, B), tile row-major
+    else:
+        # int8-coded bins (b - 128) keep the 256 compare passes at 1 B/pixel
+        b8 = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+        b8t = b8.reshape(tiles, th, tiles, tw)
+
+        def hist_bin(_, b):
+            m = (b8t == (b - 128).astype(jnp.int8)).astype(jnp.float32)
+            return None, jnp.sum(m, axis=(1, 3))  # (tiles, tiles)
+
+        _, hist = jax.lax.scan(hist_bin, None, jnp.arange(n_bins))  # (B,T,T)
+        hist = hist.reshape(n_bins, tiles * tiles).T
     # clip + redistribute
     limit = clip_limit * (th * tw) / n_bins
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
@@ -214,6 +231,32 @@ def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
 
     Uy = lerp_mat(H, tiles, th)  # (H, T)
     Ux = lerp_mat(W, tiles, tw)  # (W, T)
+
+    if use_pallas:
+        from . import pallas_clahe
+
+        # x-pass precomputed: VxT[t, b, x] = sum_s Ux[x, s] cdf[t, s, b]
+        cdf3 = cdf.transpose(1, 2, 0)  # (B, Ty, Tx) -> (Ty, Tx, B)
+        vxt = jnp.einsum("ws,tsb->tbw", Ux, cdf3)
+        # per-row 3-tap weights over tile rows {bi, bi+1, bi+2} of the
+        # row's block (bi = clip(block-1, 0, T-3)); rows of block i only
+        # interpolate tile rows i-1/i/i+1, so the triple always covers the
+        # exact 2-tap pair of lerp_mat
+        y = jnp.arange(H)
+        cc = (y.astype(jnp.float32) + 0.5) / th - 0.5
+        t0 = jnp.clip(jnp.floor(cc).astype(jnp.int32), 0, tiles - 2)
+        f = jnp.clip(cc - t0, 0.0, 1.0)
+        bi = jnp.clip(y // th - 1, 0, tiles - 3)
+        wy3 = (
+            jnp.zeros((H, 3), jnp.float32)
+            .at[y, t0 - bi].add(1.0 - f)
+            .at[y, t0 + 1 - bi].add(f)
+        )
+        bins_full = (jnp.clip(img, 0.0, 1.0) * (n_bins - 1)).astype(jnp.int32)
+        out = pallas_clahe.apply_lut(
+            bins_full, wy3, vxt, tiles=tiles, n_bins=n_bins
+        )
+        return out.astype(img.dtype)
 
     bi8 = (
         (jnp.clip(img, 0.0, 1.0) * (n_bins - 1)).astype(jnp.int32) - 128

@@ -11,6 +11,7 @@ from scipy.spatial.transform import Rotation as Rsc
 
 from lvislam_tpu.core.config import CameraIntrinsics
 from lvislam_tpu.ops import camera, klt, gftt, ransac
+from lvislam_tpu.ops import image as imops
 from lvislam_tpu.utils import synthetic as syn
 from lvislam_tpu.core import lie
 
@@ -141,3 +142,14 @@ def test_pnp_ransac(rng):
     R_est = np.asarray(lie.quat_to_matrix(res.quat))
     assert Rsc.from_matrix(R_est @ R.T).magnitude() < 0.01
     np.testing.assert_allclose(np.asarray(res.trans), t, atol=0.05)
+
+
+def test_clahe_pallas_matches_xla():
+    """The VMEM-resident Pallas CLAHE (hist + LUT apply kernels) must match
+    the XLA scan-over-bins form exactly (same math, fp reassociation only).
+    Runs the kernels in interpret mode on CPU."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((64, 1024)).astype(np.float32) ** 2)
+    a = np.asarray(imops.clahe(img, use_pallas=False))
+    b = np.asarray(imops.clahe(img, use_pallas=True))
+    np.testing.assert_allclose(a, b, atol=1e-6)
