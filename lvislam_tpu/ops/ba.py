@@ -217,9 +217,23 @@ def projection_residuals(
     return r, mask
 
 
+def imu_whiteners(pints: pre.PreintState, dtype=jnp.float32) -> jax.Array:
+    """(W, 15, 15) inverse Cholesky factors of the preintegration
+    covariances. State-independent: hoist out of the LM iteration so
+    neither the repeated cost evaluations nor the Jacobian tangents
+    differentiate through a batched 15x15 cholesky + triangular solve."""
+    cov = pints.covariance + 1e-10 * jnp.eye(15, dtype=dtype)[None]
+    L = jnp.linalg.cholesky(cov)
+    eye = jnp.broadcast_to(jnp.eye(15, dtype=dtype), L.shape)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
 def imu_residuals(ws: WindowState, pints: pre.PreintState, frame_valid: jax.Array,
-                  gravity: jax.Array, cfg: BAConfig):
-    """(W, 15) whitened IMU residuals between consecutive frames."""
+                  gravity: jax.Array, cfg: BAConfig,
+                  whiten: jax.Array | None = None):
+    """(W, 15) whitened IMU residuals between consecutive frames.
+    `whiten`: optional precomputed `imu_whiteners` (Linv; applied as a
+    matmul — identical to the triangular solve up to fp rounding)."""
     W = cfg.window
 
     def one(k):
@@ -230,6 +244,8 @@ def imu_residuals(ws: WindowState, pints: pre.PreintState, frame_valid: jax.Arra
             ws.Ps[k + 1], ws.Qs[k + 1], ws.Vs[k + 1], ws.Bas[k + 1], ws.Bgs[k + 1],
             gravity,
         )
+        if whiten is not None:
+            return whiten[k] @ r
         cov = st.covariance + 1e-10 * jnp.eye(15, dtype=r.dtype)
         L = jnp.linalg.cholesky(cov)
         rw = jax.scipy.linalg.solve_triangular(L, r, lower=True)
@@ -260,6 +276,7 @@ def full_residual(
     cfg: BAConfig,
     proj_weights: jax.Array | None = None,
     table_rt: jax.Array | None = None,
+    imu_whiten: jax.Array | None = None,
 ):
     d_state = delta[: cfg.d_state]
     d_depth = delta[cfg.d_state :]
@@ -268,7 +285,9 @@ def full_residual(
     inv_depth = inv_depth0 + jnp.where(lidar_flag, 0.0, d_depth)
 
     r_prior = prior.r + prior.J @ state_minus(ws2, prior.ws_bar, cfg)
-    r_imu = imu_residuals(ws2, pints, frame_valid, gravity, cfg).reshape(-1)
+    r_imu = imu_residuals(
+        ws2, pints, frame_valid, gravity, cfg, whiten=imu_whiten
+    ).reshape(-1)
     r_proj, _ = projection_residuals(
         ws2, inv_depth, table_obs, table_vel, table_obs_valid,
         table_start, feat_valid, td0, cfg, rt=table_rt,
@@ -300,6 +319,9 @@ def solve(
     """Damped GN with QR solves (the Ceres DOGLEG-timeboxed equivalent)."""
 
     D = cfg.d_total
+    # state-independent whitening, hoisted out of every residual eval and
+    # Jacobian tangent (a batched 15x15 cholesky + solve per sweep otherwise)
+    Linv_imu = imu_whiteners(pints, dtype=ws.Ps.dtype)
 
     def eval_cost(ws_, inv_):
         # one projection sweep serves both the robust weights and the cost
@@ -310,7 +332,9 @@ def solve(
         )
         w = robust_weights(r0_proj, pmask, cfg.cauchy_c)
         r_prior = prior.r + prior.J @ state_minus(ws_, prior.ws_bar, cfg)
-        r_imu = imu_residuals(ws_, pints, frame_valid, gravity, cfg).reshape(-1)
+        r_imu = imu_residuals(
+            ws_, pints, frame_valid, gravity, cfg, whiten=Linv_imu
+        ).reshape(-1)
         r = jnp.concatenate(
             [r_prior, r_imu, (r0_proj * w[..., None]).reshape(-1)]
         )
@@ -332,7 +356,7 @@ def solve(
                 d, ws, inv_depth, table_obs, table_vel, table_obs_valid,
                 table_start, feat_valid, lidar_flag, pints, frame_valid,
                 prior, gravity, td0, cfg, proj_weights=w_proj,
-                table_rt=table_rt,
+                table_rt=table_rt, imu_whiten=Linv_imu,
             )
 
         if cfg.solver == "schur":
