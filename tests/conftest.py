@@ -32,7 +32,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # cost on this 1-core box and where the rare late-run SIGSEGV lives
 # (inside backend_compile_and_load after hundreds of accumulated
 # compiles). Fewer real compiles = fewer rolls of that die.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+# NOT the shared jax_comp_cache: that one holds executables AOT-compiled
+# by the axon remote-compile helper with host features this machine lacks
+# (cpu_aot_loader warns SIGILL risk); the suite gets its own CPU-only dir.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache_cputests"
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
