@@ -39,6 +39,7 @@ from .lio import imu_fusion as fus
 from .vio import estimator as est
 from .vio import feature_manager as fm
 from .vio import feature_tracker as ft
+from .vio import frame_step as fs
 from .loop import loop_detector as ld
 
 
@@ -100,12 +101,18 @@ class LviSystem:
         self.last_image_time = -1.0
         self.last_lidar_time = -1.0
         self.lidar_counter = 0
-        # depth cloud ring (VINS world frame)
+        # depth cloud ring (VINS world frame) — DEVICE-resident: consumed
+        # only by the fused frame step, so shipping it per frame would be
+        # a pointless ~600 KB x 25 ms-latency transfer (NOTES.md)
         S, P = cfg.depth_cloud_slots, cfg.depth_cloud_points
-        self.depth_clouds = np.zeros((S, P, 3), np.float32)
-        self.depth_valid = np.zeros((S, P), bool)
+        self.depth_clouds = jnp.zeros((S, P, 3), jnp.float32)
+        self.depth_valid = jnp.zeros((S, P), bool)
         self.depth_stamps = np.full(S, -1e9)
         self.depth_slot = 0
+        # per-frame scalars cached from the last frame summary (reading
+        # them from device state would be one ~25 ms readback each)
+        self._td = 0.0
+        self._vio_initialized = False
         # cross-subsystem state
         self.vins_odom = None  # latest VIS imu-propagate (for LIS guess)
         self.last_gps = None  # latest map-frame GPS fix (stamp, pos, noise, use_elev)
@@ -274,75 +281,75 @@ class LviSystem:
         if self.vins_odom is None:
             return  # no VINS TF yet (same behavior as a failed TF lookup)
         st = self.lio.state
+        if not (np.isfinite(self.vins_odom["trans"]).all()
+                and np.isfinite(self.vins_odom["quat"]).all()):
+            return
         t = jnp.asarray(self.vins_odom["trans"], jnp.float32)
         q = jnp.asarray(self.vins_odom["quat"], jnp.float32)
-        if not (np.isfinite(np.asarray(t)).all() and np.isfinite(np.asarray(q)).all()):
-            return
         k = self.depth_slot % self.cfg.depth_cloud_slots
         # deskewed-cloud sample: the current scan's surf downsample held in
-        # the kf arrays (lidar frame; lidar==body extrinsic here)
+        # the kf arrays (lidar frame; lidar==body extrinsic here); the
+        # transform + ring store run device-side, nothing is read back
         kf = max(int(st.kf_count) - 1, 0)
-        pts = np.asarray(st.kf_surf[kf])
-        val = np.asarray(st.kf_surf_valid[kf])
         P = self.cfg.depth_cloud_points
-        pts_w = np.asarray(
-            lie.quat_rotate(q[None], jnp.asarray(pts[:P])) + t[None]
+        n = min(st.kf_surf.shape[1], P)
+        pts_w = lie.quat_rotate(q[None], st.kf_surf[kf, :n]) + t[None]
+        self.depth_clouds = self.depth_clouds.at[k, :n].set(pts_w)
+        self.depth_valid = self.depth_valid.at[k, :n].set(
+            st.kf_surf_valid[kf, :n]
         )
-        self.depth_clouds[k, : len(pts_w)] = pts_w
-        self.depth_valid[k, : len(pts_w)] = val[:P]
         self.depth_stamps[k] = stamp
         self.depth_slot += 1
 
     # ---------------------------------------------------------------- IMAGE
     def _on_image(self, stamp, msg):
+        """One camera frame = ONE packed upload + ONE fused device program
+        + ONE 21-float readback (`models/vio/frame_step.py`); the reference
+        spreads this across five callbacks in two processes
+        (`feature_tracker_node.cpp:98-270`, `estimator_node.cpp:218-355`)."""
         cfg = self.cfg
-        img = jnp.asarray(msg["image"], jnp.float32)
-        self.tracker, tout = ft.tracker_step(
-            self.tracker, img, jnp.float32(stamp), cfg.tracker, cfg.camera
-        )
+        img_np = np.asarray(msg["image"])
 
-        # depth channel from the accumulated cloud (exchange 2)
-        depth = np.full(cfg.tracker.max_cnt, -1.0, np.float32)
-        fresh = self.depth_stamps > stamp - 5.0
-        if cfg.use_lidar_depth and fresh.any() and self.vins_odom is not None:
-            clouds = self.depth_clouds[fresh].reshape(-1, 3)
-            cvalid = self.depth_valid[fresh].reshape(-1)
-            depth = np.asarray(ft.register_depth(
-                tout.norm, tout.valid, jnp.asarray(clouds), jnp.asarray(cvalid),
-                jnp.asarray(self.vins_odom["trans"]),
-                jnp.asarray(self.vins_odom["quat"]),
-            ))
-
-        # VIO: IMU since last frame up to t_img + td, with the straddling
-        # sample interpolated at the exact boundary (`estimator_node.cpp:
-        # 333-349`); td is the estimator's current time-offset estimate
-        td = float(np.asarray(self.vio.ws.td)) if cfg.ba.estimate_td else 0.0
+        # IMU since last frame up to t_img + td, with the straddling sample
+        # interpolated at the exact boundary (`estimator_node.cpp:333-349`);
+        # td is the estimator's current estimate, cached from the last
+        # frame's summary
+        td = self._td if cfg.ba.estimate_td else 0.0
+        dts = accs = gyrs = np.zeros(0, np.float32)
+        n = 0
         if self.last_image_time > 0:
             dts, accs, gyrs, n = self._imu_window(
                 self.last_image_time + td, stamp + td, cfg.vio_caps.imu_buf,
                 interp_end=True,
             )
-            if n > 0:
-                self.vio = est.process_imu(
-                    self.vio, jnp.asarray(dts), jnp.asarray(accs),
-                    jnp.asarray(gyrs), cfg.vio_caps, cfg.vio_params,
-                )
         self.last_image_time = stamp
 
         self.frame_times.append(stamp)
         if len(self.frame_times) > 64:
             del self.frame_times[:32]
-        lidar_odom = self._lidar_seed(stamp)
-        # rolling-shutter row time per observation (TR/ROW * row,
-        # `projection_td_factor.cpp:18-19`); zero for global shutter
-        rt = None
-        if cfg.rolling_shutter_tr > 0:
-            rt = tout.uv[:, 1] * (cfg.rolling_shutter_tr / cfg.image_height)
-        self.vio, vout = est.process_image(
-            self.vio, tout.ids, tout.norm, tout.vel, jnp.asarray(depth),
-            tout.valid, lidar_odom, cfg.vio_caps, cfg.vio_params, cfg.ba,
-            rt=rt,
+        seed = self._lidar_seed(stamp)
+
+        tf_ok = self.vins_odom is not None and np.isfinite(
+            self.vins_odom["trans"]
+        ).all()
+        buf = fs.pack_frame(
+            cfg.vio_caps, img_np, stamp, dts, accs, gyrs, n,
+            self.depth_stamps > stamp - 5.0,
+            self.vins_odom["trans"] if tf_ok else None,
+            self.vins_odom["quat"] if tf_ok else None,
+            seed,
         )
+        self.tracker, self.vio, tout, depth, summary = fs.frame_step(
+            self.tracker, self.vio, jnp.asarray(buf),
+            self.depth_clouds, self.depth_valid,
+            cfg.tracker, cfg.camera, cfg.vio_caps, cfg.vio_params, cfg.ba,
+            cfg.image_height, cfg.image_width,
+            use_depth=cfg.use_lidar_depth,
+            rolling_shutter_tr=cfg.rolling_shutter_tr,
+        )
+        s = np.asarray(summary)  # the one per-frame readback
+        self._td = float(s[16])
+        self._vio_initialized = bool(s[17] > 0.5)
         self.vio_frames += 1
 
         # exchange 1 publication: VIS odometry for the LIS initial guess —
@@ -350,21 +357,20 @@ class LviSystem:
         # exact scan stamp (the reference publishes `imu_propagate` at IMU
         # rate, `estimator_node.cpp:218-245`; propagating on demand at scan
         # time is the same signal without 200 Hz of host->device traffic)
-        if bool(np.asarray(vout["initialized"])):
-            j = min(int(self.vio.frame_count), self.cfg.vio_caps.window)
+        if self._vio_initialized:
             self.vins_odom = dict(
                 stamp=float(stamp),
-                trans=np.asarray(vout["pos"]), quat=np.asarray(vout["quat"]),
-                vel=np.asarray(vout["vel"]),
-                ba=np.asarray(self.vio.ws.Bas[j]),
-                bg=np.asarray(self.vio.ws.Bgs[j]),
-                reset_id=int(self.vio.failure_count),
+                trans=s[0:3], quat=s[3:7], vel=s[7:10],
+                ba=s[10:13], bg=s[13:16],
+                reset_id=int(s[19]),
             )
 
         if cfg.debug_dir and self.vio_frames % cfg.debug_every == 0:
             from ..utils import debugviz as dv
 
-            im = np.asarray(img)
+            im = img_np.astype(np.float32)
+            if img_np.dtype == np.uint8:
+                im = im / 255.0
             dv.save_ppm(
                 f"{cfg.debug_dir}/feature_{self.vio_frames:05d}.ppm",
                 dv.draw_tracks(im, np.asarray(tout.uv), np.asarray(tout.valid),
@@ -373,36 +379,36 @@ class LviSystem:
             if cfg.use_lidar_depth:
                 dv.save_ppm(
                     f"{cfg.debug_dir}/depth_{self.vio_frames:05d}.ppm",
-                    dv.draw_depth_overlay(im, np.asarray(tout.uv), depth,
+                    dv.draw_depth_overlay(im, np.asarray(tout.uv),
+                                          np.asarray(depth),
                                           np.asarray(tout.valid)),
                 )
 
         # exchange 4: loop detection on VIO keyframes
         if (
             cfg.use_loop_detector
-            and bool(np.asarray(vout["initialized"]))
-            and bool(np.asarray(vout["is_keyframe"]))
+            and self._vio_initialized
+            and bool(s[18] > 0.5)
         ):
-            self._loop_detect(stamp, img, tout)
+            im = jnp.asarray(img_np, jnp.float32)
+            if img_np.dtype == np.uint8:
+                im = im / 255.0
+            self._loop_detect(stamp, im, tout)
 
     def _lidar_seed(self, stamp):
         """Build the lidar-seeded init payload (`odometryRegister`,
         `initial_alignment.h:79-180`): window states from the fused LIS
-        odometry stream at the VIO frame times."""
+        odometry stream at the VIO frame times. Returns a numpy dict for
+        `pack_frame`, or None when unavailable (pre-init only)."""
         W1 = self.cfg.vio_caps.window + 1
-        empty = dict(
-            available=jnp.array(False), Ps=jnp.zeros((W1, 3)),
-            Qs=jnp.tile(jnp.array([1.0, 0, 0, 0]), (W1, 1)),
-            Vs=jnp.zeros((W1, 3)), ba=jnp.zeros(3), bg=jnp.zeros(3),
-        )
-        if bool(np.asarray(self.vio.initialized)) or len(self.lio_odoms) < 3:
-            return empty
+        if self._vio_initialized or len(self.lio_odoms) < 3:
+            return None
         if len(self.frame_times) < W1:
-            return empty
+            return None
         frame_ts = self.frame_times[-W1:]
         odom_ts = np.array([o[0] for o in self.lio_odoms])
         if frame_ts[0] < odom_ts[0]:
-            return empty
+            return None
         # per-frame: latest fused odometry before the frame time, propagated
         # to the exact frame stamp with the raw IMU samples (the reference's
         # odometryRegister matches IMU-rate odometry within 50 ms,
@@ -432,15 +438,14 @@ class LviSystem:
             Qs.append(np.asarray(nav.quat))
             Vs.append(np.asarray(nav.vel))
         if len(reset_ids) != 1:
-            return empty  # reset happened inside the window (exchange 5)
+            return None  # reset happened inside the window (exchange 5)
         o = self.lio_odoms[-1]
         return dict(
-            available=jnp.array(True),
-            Ps=jnp.asarray(np.stack(Ps), jnp.float32),
-            Qs=jnp.asarray(np.stack(Qs), jnp.float32),
-            Vs=jnp.asarray(np.stack(Vs), jnp.float32),
-            ba=jnp.asarray(o[4], jnp.float32),
-            bg=jnp.asarray(o[5], jnp.float32),
+            Ps=np.stack(Ps).astype(np.float32),
+            Qs=np.stack(Qs).astype(np.float32),
+            Vs=np.stack(Vs).astype(np.float32),
+            ba=np.asarray(o[4], np.float32),
+            bg=np.asarray(o[5], np.float32),
         )
 
     def _loop_detect(self, stamp, img, tout):
