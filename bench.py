@@ -291,6 +291,77 @@ def lie_mat_to_quat(R):
     return np.array([q[3], q[0], q[1], q[2]], np.float32)
 
 
+def _lvi_section(out):
+    """BASELINE config 5 MEASURED: the full tightly-coupled fused system
+    (LIO + VIO + depth + guess exchanges) replayed end-to-end, wall-clock
+    per simulated second. Includes every host<->device transfer — on this
+    box that is the dominant term (~25 ms per committed RPC through the
+    axon tunnel; 4 RPCs per 100 ms cycle), so the measured number reflects
+    the TUNNEL, not the kernels; `lvi_rtf_bound` is the device-time bound.
+    Runs at the integration-test operating point (320x240 camera, 4x900
+    scans) with the same code path as the 1024x576 rig."""
+    import sys
+    import time
+
+    from scipy.spatial.transform import Rotation as Rsc
+
+    sys.path.insert(0, "tests")
+    from test_lvi_system import make_system
+
+    from lvislam_tpu.utils import synthetic as syn
+    from lvislam_tpu.utils.metrics import ate_rmse
+
+    sys_ = make_system()
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+    warm_s, timed_s = 2.0, 5.0
+    d = warm_s + timed_s
+
+    imu_ts = (np.arange(int(d * 200)) + 1) / 200
+    w_all, f_all = traj.imu(imu_ts)
+    rpys = []
+    for t in imu_ts:
+        _, R = traj.pose(np.array([t]))
+        rpys.append(Rsc.from_matrix(R[0]).as_euler("ZYX")[::-1])
+    scans = [
+        (0.05 + i / 10, syn.simulate_lidar_scan(
+            world, traj, 0.05 + i / 10, n_scan=4, horizon=900,
+            sweep_time=0.1))
+        for i in range(int(d * 10) - 1)
+    ]
+    imgs = [
+        (0.1 + i / 10, syn.render_camera_image(
+            world, traj, 0.1 + i / 10, width=320, height=240, f=200.0))
+        for i in range(int(d * 10) - 1)
+    ]
+
+    def feed(lo, hi):
+        for i, t in enumerate(imu_ts):
+            if lo <= t < hi:
+                sys_.feed_imu(t, w_all[i], f_all[i],
+                              rpy=np.array(rpys[i], np.float32))
+        for t, s in scans:
+            if lo <= t < hi:
+                sys_.feed_lidar(t, s)
+        for t, im in imgs:
+            if lo <= t < hi:
+                sys_.feed_image(t, im)
+
+    feed(0.0, warm_s)
+    sys_.run()  # warm: compiles + steady state reached
+    feed(warm_s, d)
+    t0 = time.perf_counter()
+    sys_.run()
+    wall = time.perf_counter() - t0
+
+    est_pos = np.stack([x6[3:6] for _, x6 in sys_.trajectory])
+    gt = np.stack([traj.pose(np.array([t]))[0][0]
+                   for t, _ in sys_.trajectory])
+    out["lvi_rtf_measured"] = round(timed_s / wall, 2)
+    out["lvi_ate_rmse_m"] = round(float(ate_rmse(est_pos, gt, align=True)), 4)
+    out["lvi_vio_initialized"] = bool(sys_._vio_initialized)
+
+
 def main():
     _ensure_live_backend()
     import jax
@@ -349,6 +420,7 @@ def main():
     try:
         _imu_section(out)
         _vio_section(out)
+        _lvi_section(out)
         # sequential single-chip bound: per 100 ms scan period the fused
         # system does one LIO scan + one camera frame (tracker + VIO step)
         lvi_ms = out["per_scan_ms"] + out["tracker_step_ms"] + out["vio_ba_solve_ms"]

@@ -23,6 +23,7 @@ bus, reproducing the reference's tight-coupling contract (SURVEY.md §3.5):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 import jax
@@ -41,6 +42,50 @@ from .vio import feature_manager as fm
 from .vio import feature_tracker as ft
 from .vio import frame_step as fs
 from .loop import loop_detector as ld
+
+
+@partial(jax.jit, static_argnames=("fparams",))
+def _scan_glue(
+    fusion: fus.FusionState,
+    x6, incr_x6, degenerate, kf_count,  # device outputs of the LIO step
+    buf,  # (1 + M*7,) f32: [n, (dt, acc3, gyr3) x M] — the one upload
+    fparams: fus.FusionParams,
+):
+    """Post-scan fusion glue as ONE program: LIS incremental odometry ->
+    IMU-fusion initialize/correct (`imuPreintegration.cpp:272-456`), plus a
+    packed 26-float summary so the host reads everything back in ONE RPC:
+    [x6(6), pos(3), quat(4), vel(3), ba(3), bg(3), reset_id, degenerate,
+    kf_count, initialized]."""
+    n = buf[0].astype(jnp.int32)
+    M = (buf.shape[0] - 1) // 7
+    imu = buf[1:].reshape(M, 7)
+    dts = jnp.where(jnp.arange(M) < n, imu[:, 0], 0.0)
+    t_inc, q_inc = mapping._x6_to_tq(incr_x6)
+
+    def do_init(fu):
+        return fus.fusion_initialize(fu, t_inc, q_inc, fparams)
+
+    def do_correct(fu):
+        return jax.lax.cond(
+            n > 1,
+            lambda f2: fus.fusion_correct(
+                f2, dts, imu[:, 1:4], imu[:, 4:7], t_inc, q_inc,
+                degenerate, fparams,
+            ),
+            lambda f2: f2,
+            fu,
+        )
+
+    fusion2 = jax.lax.cond(fusion.initialized, do_correct, do_init, fusion)
+    summary = jnp.concatenate([
+        x6,
+        fusion2.pos, fusion2.quat, fusion2.vel, fusion2.ba, fusion2.bg,
+        fusion2.reset_id.astype(jnp.float32)[None],
+        degenerate.astype(jnp.float32)[None],
+        kf_count.astype(jnp.float32)[None],
+        fusion2.initialized.astype(jnp.float32)[None],
+    ])
+    return fusion2, summary
 
 
 @dataclasses.dataclass
@@ -202,22 +247,15 @@ class LviSystem:
             if stamp > vo["stamp"]:
                 dts, accs, gyrs, n = self._imu_window(vo["stamp"], stamp, 64)
                 if n > 0 and np.isfinite(t_g).all():
+                    # host-side dead-reckoning: this is per-message glue on
+                    # a tiny window — device dispatch would cost several
+                    # ~25 ms transfer RPCs for microseconds of arithmetic
                     from ..ops import preintegration as _pre
-                    G = jnp.asarray(
-                        [0.0, 0.0, -self.cfg.fusion.imuGravity], jnp.float32
+                    G = np.array([0.0, 0.0, -self.cfg.fusion.imuGravity])
+                    t_g, q_g, _ = _pre.navstate_predict_np(
+                        t_g, q_g, vo["vel"], vo["ba"], vo["bg"],
+                        dts[:n], accs[:n], gyrs[:n], G,
                     )
-                    nav = _pre.NavState(
-                        pos=jnp.asarray(t_g, jnp.float32),
-                        quat=jnp.asarray(q_g, jnp.float32),
-                        vel=jnp.asarray(vo["vel"], jnp.float32),
-                        ba=jnp.asarray(vo["ba"], jnp.float32),
-                        bg=jnp.asarray(vo["bg"], jnp.float32),
-                    )
-                    nav = _pre.navstate_predict(
-                        nav, jnp.asarray(dts), jnp.asarray(accs),
-                        jnp.asarray(gyrs), G,
-                    )
-                    t_g, q_g = np.asarray(nav.pos), np.asarray(nav.quat)
             odom = dict(trans=t_g, quat=q_g, reset_id=vo["reset_id"])
         ts = np.asarray(self.imu_times)
         sel = np.nonzero((ts >= stamp - 0.01) & (ts <= stamp + 0.15))[0]
@@ -237,28 +275,25 @@ class LviSystem:
         scan = dict(scan, stamp=stamp)
         out = self.lio.process_scan(scan, irt, ig, rpy, odom=odom, gps=gps)
 
-        # LIS incremental odometry -> IMU fusion correction (IMU frame)
-        t_inc, q_inc = mapping._x6_to_tq(out.incr_x6)
-        if not bool(np.asarray(self.fusion.initialized)):
-            self.fusion = fus.fusion_initialize(
-                self.fusion, t_inc, q_inc, self.cfg.fusion
-            )
-        else:
-            dts, accs, gyrs, n = self._imu_window(
-                self.last_lidar_time, stamp, 64
-            )
-            if n > 1:
-                self.fusion = fus.fusion_correct(
-                    self.fusion, jnp.asarray(dts), jnp.asarray(accs),
-                    jnp.asarray(gyrs), t_inc, q_inc,
-                    jnp.asarray(bool(np.asarray(out.degenerate))),
-                    self.cfg.fusion,
-                )
+        # LIS incremental odometry -> IMU fusion correction (IMU frame),
+        # fused into ONE glue program + ONE packed readback (`_scan_glue`);
+        # the previous per-field np.asarray bookkeeping paid ~8 transfer
+        # RPCs x ~25 ms per scan on the tunnel
+        dts, accs, gyrs, n = self._imu_window(self.last_lidar_time, stamp, 64)
+        gbuf = np.zeros(1 + 64 * 7, np.float32)
+        gbuf[0] = n
+        gi = gbuf[1:].reshape(64, 7)
+        gi[:, 0] = dts
+        gi[:, 1:4] = accs
+        gi[:, 4:7] = gyrs
+        self.fusion, summary = _scan_glue(
+            self.fusion, out.x6, out.incr_x6, out.degenerate,
+            self.lio.state.kf_count, jnp.asarray(gbuf), self.cfg.fusion,
+        )
+        s = np.asarray(summary)  # the one per-scan readback
         # exchange 3: fused odometry stream for VIS initialization
         self.lio_odoms.append((
-            stamp, np.asarray(self.fusion.pos), np.asarray(self.fusion.quat),
-            np.asarray(self.fusion.vel), np.asarray(self.fusion.ba),
-            np.asarray(self.fusion.bg), int(self.fusion.reset_id),
+            stamp, s[6:9], s[9:13], s[13:16], s[16:19], s[19:22], int(s[22]),
         ))
         if len(self.lio_odoms) > 200:
             del self.lio_odoms[:100]
@@ -269,10 +304,10 @@ class LviSystem:
         if self.cfg.use_lidar_depth and (
             self.lidar_counter % (self.cfg.lidar_skip + 1) == 0
         ):
-            self._accumulate_depth_cloud(stamp, out)
-        self.trajectory.append((stamp, np.asarray(out.x6)))
+            self._accumulate_depth_cloud(stamp, out, kf_count=int(s[24]))
+        self.trajectory.append((stamp, s[0:6]))
 
-    def _accumulate_depth_cloud(self, stamp, out):
+    def _accumulate_depth_cloud(self, stamp, out, kf_count: int | None = None):
         """`lidar_callback` (`feature_tracker_node.cpp:273-377`): downsample
         the deskewed cloud and store it in the VINS world frame — the
         reference looks up the vins_world->vins_body TF, i.e. the cloud is
@@ -290,7 +325,9 @@ class LviSystem:
         # deskewed-cloud sample: the current scan's surf downsample held in
         # the kf arrays (lidar frame; lidar==body extrinsic here); the
         # transform + ring store run device-side, nothing is read back
-        kf = max(int(st.kf_count) - 1, 0)
+        if kf_count is None:
+            kf_count = int(st.kf_count)  # one readback (non-fused callers)
+        kf = max(kf_count - 1, 0)
         P = self.cfg.depth_cloud_points
         n = min(st.kf_surf.shape[1], P)
         pts_w = lie.quat_rotate(q[None], st.kf_surf[kf, :n]) + t[None]
@@ -420,23 +457,21 @@ class LviSystem:
         for tf in frame_ts:
             i = int(np.searchsorted(odom_ts, tf, side="right")) - 1
             if i < 0:
-                return empty
+                return None
             o = self.lio_odoms[i]
             reset_ids.add(o[6])
             dts, accs, gyrs, n = self._imu_window(o[0], tf, 32)
-            nav = _pre.NavState(
-                pos=jnp.asarray(o[1], jnp.float32), quat=jnp.asarray(o[2], jnp.float32),
-                vel=jnp.asarray(o[3], jnp.float32), ba=jnp.asarray(o[4], jnp.float32),
-                bg=jnp.asarray(o[5], jnp.float32),
-            )
+            # host-side dead-reckoning: W+1 tiny windows per pre-init frame
+            # would otherwise be a per-frame device-RPC storm on the tunnel
+            p, q, v = o[1], o[2], o[3]
             if n > 0:
-                nav = _pre.navstate_predict(
-                    nav, jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
-                    jnp.asarray(G),
+                p, q, v = _pre.navstate_predict_np(
+                    o[1], o[2], o[3], o[4], o[5],
+                    dts[:n], accs[:n], gyrs[:n], G,
                 )
-            Ps.append(np.asarray(nav.pos))
-            Qs.append(np.asarray(nav.quat))
-            Vs.append(np.asarray(nav.vel))
+            Ps.append(np.asarray(p, np.float32))
+            Qs.append(np.asarray(q, np.float32))
+            Vs.append(np.asarray(v, np.float32))
         if len(reset_ids) != 1:
             return None  # reset happened inside the window (exchange 5)
         o = self.lio_odoms[-1]

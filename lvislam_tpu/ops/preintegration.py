@@ -433,3 +433,64 @@ def gyro_rotation_table(dts: jax.Array, gyrs: jax.Array) -> jax.Array:
     qs = qs / jnp.linalg.norm(qs, axis=-1, keepdims=True)
     q0 = lie.quat_identity(gyrs.dtype)
     return jnp.concatenate([q0[None], qs], axis=0)
+
+
+def navstate_predict_np(pos, quat, vel, ba, bg, dts, accs, gyrs, gravity_vec):
+    """Pure-NumPy `navstate_predict` for HOST-side glue (the fused
+    pipeline's exchange-1 guess propagation and the pre-init lidar
+    seeding, `estimator_node.cpp:218-245` / `initial_alignment.h:94-180`).
+    These run per message on tiny sample windows; dispatching them to the
+    device costs ~25 ms per committed transfer on the tunnel-attached TPU
+    while the arithmetic itself is microseconds. Identical midpoint
+    recursion (same quaternion convention, per-step normalization).
+    Returns (pos, quat, vel) as float64 numpy."""
+    import numpy as _np
+
+    p = _np.asarray(pos, _np.float64).copy()
+    q = _np.asarray(quat, _np.float64).copy()
+    v = _np.asarray(vel, _np.float64).copy()
+    ba = _np.asarray(ba, _np.float64)
+    bg = _np.asarray(bg, _np.float64)
+    g = _np.asarray(gravity_vec, _np.float64)
+    dts = _np.asarray(dts, _np.float64)
+    accs = _np.asarray(accs, _np.float64)
+    gyrs = _np.asarray(gyrs, _np.float64)
+
+    def rot(qq, x):
+        w, xx, yy, zz = qq
+        R = _np.array([
+            [1 - 2 * (yy * yy + zz * zz), 2 * (xx * yy - w * zz), 2 * (xx * zz + w * yy)],
+            [2 * (xx * yy + w * zz), 1 - 2 * (xx * xx + zz * zz), 2 * (yy * zz - w * xx)],
+            [2 * (xx * zz - w * yy), 2 * (yy * zz + w * xx), 1 - 2 * (xx * xx + yy * yy)],
+        ])
+        return R @ x
+
+    def qmul(a, b):
+        aw, ax, ay, az = a
+        bw, bx, by, bz = b
+        return _np.array([
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ])
+
+    pa, pg = accs[0] if len(accs) else _np.zeros(3), gyrs[0] if len(gyrs) else _np.zeros(3)
+    for k in range(len(dts)):
+        dt = dts[k]
+        if dt <= 0:
+            pa, pg = accs[k], gyrs[k]
+            continue
+        un_gyr = 0.5 * (pg + gyrs[k]) - bg
+        half = un_gyr * dt * 0.5
+        dq = _np.concatenate([[1.0], half])  # VINS small-angle delta_q
+        q_new = qmul(q, dq)
+        q_new = q_new / _np.linalg.norm(q_new)
+        a0 = rot(q, pa - ba) + g
+        a1 = rot(q_new, accs[k] - ba) + g
+        un_acc = 0.5 * (a0 + a1)
+        p = p + v * dt + 0.5 * un_acc * dt * dt
+        v = v + un_acc * dt
+        q = q_new
+        pa, pg = accs[k], gyrs[k]
+    return p, q, v

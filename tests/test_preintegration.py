@@ -191,3 +191,25 @@ def test_navstate_predict_parallel_matches_sequential(rng):
     np.testing.assert_allclose(np.asarray(a.quat), np.asarray(b.quat), atol=2e-6)
     np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=2e-4)
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=2e-4)
+
+
+def test_navstate_predict_np_matches_device(rng):
+    """The host-side glue dead-reckoner must match the device version."""
+    dts, accs, gyrs = synth_imu(rng, n=40)
+    nav0 = pre.NavState(
+        pos=jnp.asarray(rng.normal(size=3), jnp.float32),
+        quat=jnp.asarray(lie.quat_normalize(jnp.asarray(rng.normal(size=4), jnp.float32))),
+        vel=jnp.asarray(rng.normal(size=3), jnp.float32),
+        ba=jnp.asarray(0.05 * rng.normal(size=3), jnp.float32),
+        bg=jnp.asarray(0.01 * rng.normal(size=3), jnp.float32),
+    )
+    G = np.array([0.0, 0.0, -9.805])
+    a = pre.navstate_predict(
+        nav0, jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
+        jnp.asarray(G, jnp.float32))
+    p, q, v = pre.navstate_predict_np(
+        np.asarray(nav0.pos), np.asarray(nav0.quat), np.asarray(nav0.vel),
+        np.asarray(nav0.ba), np.asarray(nav0.bg), dts, accs, gyrs, G)
+    np.testing.assert_allclose(np.asarray(a.pos), p, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(a.quat), q, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.vel), v, atol=5e-4)
