@@ -17,7 +17,11 @@ from lvislam_tpu.ops import ba
 from lvislam_tpu.utils import synthetic as syn
 from lvislam_tpu.utils.metrics import ate_rmse
 
-R_BC = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]).T
+# cam->body (qic convention, ba.py:192): cam x right, y down, z forward.
+# MUST match synthetic.render_camera_image's default R_cam_body — the old
+# transposed value fed the estimator an inverted extrinsic, producing a
+# textbook gyro-bias walk in the full-LVI replay (tracker was healthy).
+R_BC = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]]).T
 
 
 def make_system():
