@@ -118,6 +118,16 @@ class LviConfig:
     # match_image topics as files)
     debug_dir: str | None = None
     debug_every: int = 10
+    # Pipelined multi-chip placement: (dev_lio, dev_tracker, dev_estimator)
+    # jax devices, or None for the fused single-device path. The reference
+    # stack is SEVEN asynchronous processes; on a TPU pod the same
+    # concurrency comes from placing the three heavy stages on their own
+    # chips — JAX async dispatch overlaps the LIO scan program, the tracker
+    # program (frame k) and the estimator program (frame k-1), so the
+    # system's cycle time is max(stage times) instead of their sum. The
+    # estimator runs one frame behind the camera, exactly like the
+    # reference's feature queue (`estimator_node.cpp:258-303`).
+    pipeline_devices: tuple | None = None
 
 
 class LviSystem:
@@ -138,6 +148,20 @@ class LviSystem:
         self.loop_db = ld.db_init(cfg.loop_caps)
         self._dbg_kf_imgs: dict = {}  # debug_dir: slot -> u8 image
 
+        # multi-chip pipelined placement (see LviConfig.pipeline_devices)
+        self._pipelined = cfg.pipeline_devices is not None
+        self._pending_track = None  # stage-T output awaiting stage E
+        self._last_est_time = -1.0  # stamp of the last ESTIMATED frame
+        if self._pipelined:
+            self._dev_lio, self._dev_trk, self._dev_vio = cfg.pipeline_devices
+            self.lio.state = jax.device_put(self.lio.state, self._dev_lio)
+            self.fusion = jax.device_put(self.fusion, self._dev_lio)
+            self.tracker = jax.device_put(self.tracker, self._dev_trk)
+            self.vio = jax.device_put(self.vio, self._dev_vio)
+            self.loop_db = jax.device_put(self.loop_db, self._dev_vio)
+        else:
+            self._dev_lio = self._dev_trk = self._dev_vio = None
+
         # host-side buffers
         self.imu_times: list[float] = []
         self.imu_gyro: list[np.ndarray] = []
@@ -152,6 +176,9 @@ class LviSystem:
         S, P = cfg.depth_cloud_slots, cfg.depth_cloud_points
         self.depth_clouds = jnp.zeros((S, P, 3), jnp.float32)
         self.depth_valid = jnp.zeros((S, P), bool)
+        if self._pipelined:  # ring lives with the tracker stage
+            self.depth_clouds = jax.device_put(self.depth_clouds, self._dev_trk)
+            self.depth_valid = jax.device_put(self.depth_valid, self._dev_trk)
         self.depth_stamps = np.full(S, -1e9)
         self.depth_slot = 0
         # per-frame scalars cached from the last frame summary (reading
@@ -170,7 +197,10 @@ class LviSystem:
         self.metrics = MetricsLogger(cfg.metrics_path)
         self.bus.subscribe("imu", self._on_imu)
         self.bus.subscribe("lidar", lambda t, m: self._timed("lidar", self._on_lidar, t, m))
-        self.bus.subscribe("image", lambda t, m: self._timed("image", self._on_image, t, m))
+        img_handler = (
+            self._on_image_pipelined if self._pipelined else self._on_image
+        )
+        self.bus.subscribe("image", lambda t, m: self._timed("image", img_handler, t, m))
         # note: QoS depths (`utility.h:414-470`) only apply in streaming use
         # (feed + run interleaved); a pre-enqueued batch replay must keep
         # every message, so no depth limits are set here.
@@ -330,11 +360,16 @@ class LviSystem:
         kf = max(kf_count - 1, 0)
         P = self.cfg.depth_cloud_points
         n = min(st.kf_surf.shape[1], P)
-        pts_w = lie.quat_rotate(q[None], st.kf_surf[kf, :n]) + t[None]
+        pts_l = st.kf_surf[kf, :n]
+        pv = st.kf_surf_valid[kf, :n]
+        if self._pipelined:
+            # LIO chip -> tracker chip: the scan's surf downsample rides
+            # ICI once per kept cloud (the only bulk cross-stage transfer)
+            pts_l = jax.device_put(pts_l, self._dev_trk)
+            pv = jax.device_put(pv, self._dev_trk)
+        pts_w = lie.quat_rotate(q[None], pts_l) + t[None]
         self.depth_clouds = self.depth_clouds.at[k, :n].set(pts_w)
-        self.depth_valid = self.depth_valid.at[k, :n].set(
-            st.kf_surf_valid[kf, :n]
-        )
+        self.depth_valid = self.depth_valid.at[k, :n].set(pv)
         self.depth_stamps[k] = stamp
         self.depth_slot += 1
 
@@ -431,6 +466,115 @@ class LviSystem:
             if img_np.dtype == np.uint8:
                 im = im / 255.0
             self._loop_detect(stamp, im, tout)
+
+    def _on_image_pipelined(self, stamp, msg):
+        """Multi-chip image path: dispatch stage T (tracker + depth
+        registration) for THIS frame on its own device first — JAX dispatch
+        is asynchronous, so it executes while the host then runs stage E
+        (the estimator) on the PREVIOUS frame's features and blocks on its
+        21-float summary. This reproduces the reference's tracker-node ->
+        feature-queue -> estimator-node concurrency
+        (`feature_tracker_node.cpp:98-270`, `estimator_node.cpp:258-303`):
+        the estimator is always one camera period behind the tracker."""
+        cfg = self.cfg
+        img_np = np.asarray(msg["image"])
+        tf_ok = self.vins_odom is not None and np.isfinite(
+            self.vins_odom["trans"]
+        ).all()
+        tbuf = fs.pack_track(
+            img_np, stamp, self.depth_stamps > stamp - 5.0,
+            self.vins_odom["trans"] if tf_ok else None,
+            self.vins_odom["quat"] if tf_ok else None,
+        )
+        self.tracker, tout, depth, rt = fs.track_stage(
+            self.tracker, jnp.asarray(tbuf),
+            self.depth_clouds, self.depth_valid,
+            cfg.tracker, cfg.camera, cfg.image_height, cfg.image_width,
+            use_depth=cfg.use_lidar_depth,
+            rolling_shutter_tr=cfg.rolling_shutter_tr,
+        )
+        self._estimate_pending()  # stage E for frame k-1, overlapped with T
+        self._pending_track = dict(
+            stamp=stamp, img=img_np, tout=tout, depth=depth, rt=rt
+        )
+
+    def _estimate_pending(self):
+        """Stage E: estimator step on the queued stage-T output (one camera
+        frame behind, as the reference's feature queue). No-op when the
+        queue is empty."""
+        pend = self._pending_track
+        if pend is None:
+            return
+        self._pending_track = None
+        cfg = self.cfg
+        stamp = pend["stamp"]
+        td = self._td if cfg.ba.estimate_td else 0.0
+        dts = accs = gyrs = np.zeros(0, np.float32)
+        n = 0
+        if self._last_est_time > 0:
+            dts, accs, gyrs, n = self._imu_window(
+                self._last_est_time + td, stamp + td, cfg.vio_caps.imu_buf,
+                interp_end=True,
+            )
+        self._last_est_time = stamp
+        self.frame_times.append(stamp)
+        if len(self.frame_times) > 64:
+            del self.frame_times[:32]
+        seed = self._lidar_seed(stamp)
+        ebuf = fs.pack_estimate(
+            cfg.vio_caps, stamp, dts, accs, gyrs, n, seed
+        )
+        tout, depth, rt = pend["tout"], pend["depth"], pend["rt"]
+        feats = (tout.ids, tout.norm, tout.vel, depth, tout.valid, rt,
+                 tout.n_tracked, tout.uv)
+        if self._dev_vio is not None:
+            feats = jax.device_put(feats, self._dev_vio)
+        ids, norm, vel, depth_m, valid, rt_m, ntr, uv = feats
+        self.vio, summary = fs.estimate_stage(
+            self.vio, ids, norm, vel, depth_m, valid, rt_m, ntr,
+            jnp.asarray(ebuf), cfg.vio_caps, cfg.vio_params, cfg.ba,
+            use_rt=cfg.rolling_shutter_tr > 0,
+        )
+        s = np.asarray(summary)  # the one per-frame readback
+        self._td = float(s[16])
+        self._vio_initialized = bool(s[17] > 0.5)
+        self.vio_frames += 1
+
+        if self._vio_initialized:
+            self.vins_odom = dict(
+                stamp=float(stamp),
+                trans=s[0:3], quat=s[3:7], vel=s[7:10],
+                ba=s[10:13], bg=s[13:16],
+                reset_id=int(s[19]),
+            )
+
+        if cfg.debug_dir and self.vio_frames % cfg.debug_every == 0:
+            from ..utils import debugviz as dv
+
+            im = pend["img"].astype(np.float32)
+            if pend["img"].dtype == np.uint8:
+                im = im / 255.0
+            dv.save_ppm(
+                f"{cfg.debug_dir}/feature_{self.vio_frames:05d}.ppm",
+                dv.draw_tracks(im, np.asarray(uv), np.asarray(valid),
+                               np.asarray(self.tracker.track_cnt)),
+            )
+
+        if (
+            cfg.use_loop_detector
+            and self._vio_initialized
+            and bool(s[18] > 0.5)
+        ):
+            im = jnp.asarray(pend["img"], jnp.float32)
+            if pend["img"].dtype == np.uint8:
+                im = im / 255.0
+            if self._dev_vio is not None:
+                im = jax.device_put(im, self._dev_vio)
+            tout_m = ft.TrackerOutput(
+                ids=ids, uv=uv, norm=norm, vel=vel, valid=valid,
+                n_tracked=ntr,
+            )
+            self._loop_detect(stamp, im, tout_m)
 
     def _lidar_seed(self, stamp):
         """Build the lidar-seeded init payload (`odometryRegister`,
@@ -586,3 +730,5 @@ class LviSystem:
 
     def run(self):
         self.bus.run()
+        if self._pipelined:
+            self._estimate_pending()  # drain the one-frame pipeline tail

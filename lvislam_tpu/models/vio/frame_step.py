@@ -198,3 +198,182 @@ def frame_step(
         tout.n_tracked.astype(jnp.float32)[None],
     ])
     return tracker2, vio3, tout, depth, summary
+
+
+# ---------------------------------------------------------------------------
+# Pipelined two-stage variant (multi-chip deployment)
+# ---------------------------------------------------------------------------
+# The reference runs the tracker and the estimator as SEPARATE PROCESSES
+# joined by a feature queue (`feature_tracker_node.cpp:98-270` publishes,
+# `estimator_node.cpp:258-303` consumes asynchronously) — the estimator is
+# always one publish behind the camera. These two stages reproduce that
+# split so a multi-chip deployment can place the tracker and the estimator
+# (and the LIO step) on different devices and overlap them via JAX's async
+# dispatch: stage T tracks frame k while stage E solves frame k-1.
+
+_MISC_T = 10  # t, tf_ok, body_trans(3), body_quat(4), pad
+
+
+def pack_track(
+    img: np.ndarray,  # (H, W) uint8 or float in [0, 1]
+    t: float,
+    depth_fresh: np.ndarray,  # (S,) bool
+    body_trans, body_quat,  # vins_world -> vins_body TF (or None)
+) -> np.ndarray:
+    H, W = img.shape
+    S = len(depth_fresh)
+    nf = _MISC_T + S
+    buf = np.zeros(H * W // 2 + nf * 2, np.int16)
+    if img.dtype != np.uint8:
+        img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    buf[: H * W // 2] = img.reshape(-1).view(np.int16)
+    f = buf[H * W // 2 :].view(np.float32)
+    f[0] = t
+    f[1] = float(body_trans is not None)
+    if body_trans is not None:
+        f[2:5] = body_trans
+        f[5:9] = body_quat
+    else:
+        f[5] = 1.0
+    f[_MISC_T : _MISC_T + S] = depth_fresh.astype(np.float32)
+    return buf
+
+
+@partial(jax.jit, static_argnames=(
+    "tparams", "cam", "height", "width", "use_depth", "rolling_shutter_tr",
+))
+def track_stage(
+    tracker: ft.TrackerState,
+    buf: jax.Array,  # (L,) int16 from pack_track
+    depth_clouds: jax.Array,
+    depth_valid: jax.Array,
+    tparams: ft.TrackerParams,
+    cam: CameraIntrinsics,
+    height: int,
+    width: int,
+    use_depth: bool = True,
+    rolling_shutter_tr: float = 0.0,
+):
+    """Tracker + depth registration only (the feature_tracker node).
+    Returns (tracker', tout, depth, rt) — all device-resident; the host
+    forwards them to `estimate_stage` (device_put when stages live on
+    different chips)."""
+    H, W = height, width
+    S = depth_clouds.shape[0]
+    nf = _MISC_T + S
+    img = jax.lax.bitcast_convert_type(
+        buf[: H * W // 2].reshape(H, W // 2, 1), jnp.uint8
+    ).reshape(H, W).astype(jnp.float32) * (1.0 / 255.0)
+    f = jax.lax.bitcast_convert_type(
+        buf[H * W // 2 :].reshape(nf, 2), jnp.float32
+    )
+    t = f[0]
+    fresh = f[_MISC_T : _MISC_T + S] > 0.5
+
+    tracker2, tout = ft.tracker_step(tracker, img, t, tparams, cam)
+
+    depth = jnp.full((tparams.max_cnt,), -1.0, jnp.float32)
+    if use_depth:
+        depth_on = (f[1] > 0.5) & jnp.any(fresh)
+        d = ft.register_depth(
+            tout.norm, tout.valid,
+            depth_clouds.reshape(S * depth_clouds.shape[1], 3),
+            (depth_valid & fresh[:, None]).reshape(-1),
+            f[2:5], f[5:9],
+        )
+        depth = jnp.where(depth_on, d, depth)
+
+    rt = tout.uv[:, 1] * (rolling_shutter_tr / H) if rolling_shutter_tr > 0 \
+        else jnp.zeros((tparams.max_cnt,), jnp.float32)
+    return tracker2, tout, depth, rt
+
+
+def pack_estimate(
+    caps: fm.VioCaps,
+    t: float,
+    imu_dts: np.ndarray, imu_accs: np.ndarray, imu_gyrs: np.ndarray,
+    imu_n: int,
+    seed: dict | None,
+) -> np.ndarray:
+    M, W1 = caps.imu_buf, caps.window + 1
+    f = np.zeros(M * 7 + 3 + W1 * 10 + 6, np.float32)
+    imu = f[: M * 7].reshape(M, 7)
+    n = min(int(imu_n), M)
+    if n > 0:
+        imu[:n, 0] = imu_dts[:n]
+        imu[:n, 1:4] = imu_accs[:n]
+        imu[:n, 4:7] = imu_gyrs[:n]
+        imu[n:, 1:4] = imu[max(n - 1, 0), 1:4]
+        imu[n:, 4:7] = imu[max(n - 1, 0), 4:7]
+    f[M * 7] = t
+    f[M * 7 + 1] = n
+    f[M * 7 + 2] = float(seed is not None)
+    if seed is not None:
+        sd = f[M * 7 + 3 :]
+        sd[: W1 * 3] = np.asarray(seed["Ps"], np.float32).reshape(-1)
+        sd[W1 * 3 : W1 * 7] = np.asarray(seed["Qs"], np.float32).reshape(-1)
+        sd[W1 * 7 : W1 * 10] = np.asarray(seed["Vs"], np.float32).reshape(-1)
+        sd[W1 * 10 : W1 * 10 + 3] = np.asarray(seed["ba"], np.float32)
+        sd[W1 * 10 + 3 :] = np.asarray(seed["bg"], np.float32)
+    return f
+
+
+@partial(jax.jit, static_argnames=("caps", "vparams", "cfg", "use_rt"))
+def estimate_stage(
+    vio: est.VioState,
+    ids: jax.Array,
+    norm: jax.Array,
+    vel: jax.Array,
+    depth: jax.Array,
+    valid: jax.Array,
+    rt: jax.Array,
+    n_tracked: jax.Array,
+    ebuf: jax.Array,  # (L,) f32 from pack_estimate
+    caps: fm.VioCaps,
+    vparams: est.VioParams,
+    cfg: ba.BAConfig,
+    use_rt: bool = False,
+):
+    """IMU preintegration + sliding-window estimator (the estimator node),
+    consuming the features `track_stage` produced for the SAME frame —
+    typically dispatched one camera period later, as the reference's
+    feature queue does. Returns (vio', summary(21,)) with the same summary
+    layout as `frame_step`."""
+    M, W1 = caps.imu_buf, caps.window + 1
+    imu = ebuf[: M * 7].reshape(M, 7)
+    # ebuf[M*7] is the frame stamp (kept in the layout for debugging;
+    # the estimator itself is stamp-free — frames are ordinal)
+    imu_n = ebuf[M * 7 + 1].astype(jnp.int32)
+    sd = ebuf[M * 7 + 3 :]
+    seed = dict(
+        available=ebuf[M * 7 + 2] > 0.5,
+        Ps=sd[: W1 * 3].reshape(W1, 3),
+        Qs=sd[W1 * 3 : W1 * 7].reshape(W1, 4),
+        Vs=sd[W1 * 7 : W1 * 10].reshape(W1, 3),
+        ba=sd[W1 * 10 : W1 * 10 + 3],
+        bg=sd[W1 * 10 + 3 : W1 * 10 + 6],
+    )
+    imu_dts = jnp.where(jnp.arange(M) < imu_n, imu[:, 0], 0.0)
+    vio2 = jax.lax.cond(
+        imu_n > 0,
+        lambda v: est.process_imu(
+            v, imu_dts, imu[:, 1:4], imu[:, 4:7], caps, vparams
+        ),
+        lambda v: v,
+        vio,
+    )
+    vio3, vout = est.process_image(
+        vio2, ids, norm, vel, depth, valid, seed,
+        caps, vparams, cfg, rt=rt if use_rt else None,
+    )
+    j = jnp.minimum(vio3.frame_count, caps.window)
+    summary = jnp.concatenate([
+        vout["pos"], vout["quat"], vout["vel"],
+        vio3.ws.Bas[j], vio3.ws.Bgs[j],
+        vio3.ws.td[None],
+        vout["initialized"].astype(jnp.float32)[None],
+        vout["is_keyframe"].astype(jnp.float32)[None],
+        vio3.failure_count.astype(jnp.float32)[None],
+        n_tracked.astype(jnp.float32)[None],
+    ])
+    return vio3, summary
