@@ -188,20 +188,51 @@ def project_compact(
     ok &= (ring >= 0) & (ring < n_scan)
     if downsample_rate > 1:
         ok &= (ring % downsample_rate) == 0
+    unique_cols = columns is None
     if columns is None:
         columns = livox_columns(ring, ok, n_scan)
     ok &= (columns >= 0) & (columns < horizon_scan)
 
-    # first-wins dedup: scatter-min of point index per cell (trash cell last)
-    flat_cell = jnp.where(ok, ring * horizon_scan + columns, n_scan * horizon_scan)
-    winner = jnp.full(n_scan * horizon_scan + 1, P, jnp.int32)
-    winner = winner.at[flat_cell].min(jnp.arange(P, dtype=jnp.int32))
-    winner = winner[:-1].reshape(n_scan, horizon_scan)
-    valid_img = winner < P
+    if unique_cols:
+        # Livox counter columns are UNIQUE per ring by construction (the
+        # i-th surviving point of ring r gets column i), so the first-wins
+        # dedup is the identity and the per-ring left-compaction is too
+        # (valid cells are exactly the prefix 0..count-1). One unique-index
+        # scatter replaces the scatter-min + the compaction scatter —
+        # each costs ~1 ms at 24k points on TPU (scatters serialize).
+        flat_cell = jnp.where(
+            ok, ring * horizon_scan + columns, n_scan * horizon_scan
+        )
+        winner = jnp.full(n_scan * horizon_scan + 1, P, jnp.int32)
+        winner = winner.at[flat_cell].set(jnp.arange(P, dtype=jnp.int32))
+        winner = winner[:-1].reshape(n_scan, horizon_scan)
+        counts = jnp.sum(
+            ok[None, :] & (ring[None, :] == jnp.arange(n_scan)[:, None]),
+            axis=-1,
+        ).astype(jnp.int32)
+        # junk slots (past each ring's count) carry column 0, matching the
+        # general path — the occlusion mask reads neighbor columns at ring
+        # tails, so the junk value is behavior-relevant
+        hh = jnp.arange(horizon_scan, dtype=jnp.int32)[None, :]
+        order = jnp.where(hh < counts[:, None], hh, 0)
+        cum = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+        start_idx = (cum[:-1] - 1 + 5).astype(jnp.int32)
+        end_idx = (cum[1:] - 1 - 5).astype(jnp.int32)
+        gidx = jnp.clip(winner.reshape(-1), 0, P - 1)
+    else:
+        # general path (spherical columns collide): first-wins dedup via
+        # scatter-min of point index per cell (trash cell last)
+        flat_cell = jnp.where(
+            ok, ring * horizon_scan + columns, n_scan * horizon_scan
+        )
+        winner = jnp.full(n_scan * horizon_scan + 1, P, jnp.int32)
+        winner = winner.at[flat_cell].min(jnp.arange(P, dtype=jnp.int32))
+        winner = winner[:-1].reshape(n_scan, horizon_scan)
+        valid_img = winner < P
 
-    order, counts, start_idx, end_idx = compact_rings(valid_img, horizon_scan)
-    gidx = jnp.take_along_axis(winner, order, axis=1).reshape(-1)
-    gidx = jnp.clip(gidx, 0, P - 1)
+        order, counts, start_idx, end_idx = compact_rings(valid_img, horizon_scan)
+        gidx = jnp.take_along_axis(winner, order, axis=1).reshape(-1)
+        gidx = jnp.clip(gidx, 0, P - 1)
     flat_valid = (
         jnp.arange(horizon_scan, dtype=counts.dtype)[None, :] < counts[:, None]
     ).reshape(-1)

@@ -41,6 +41,33 @@ def test_project_first_wins(rng):
     assert not v_img[1, 1]
 
 
+def test_project_compact_unique_path_matches_general(rng):
+    """The livox fast path (counter columns are unique per ring, so the
+    dedup scatter-min and the compaction scatter collapse into one
+    unique-index scatter) must match the general collision-handling path
+    on every output, junk slots excluded."""
+    P, N, H = 2000, 4, 600
+    xyz = rng.uniform(-30, 30, (P, 3)).astype(np.float32)
+    ring = rng.integers(0, N, P).astype(np.int32)
+    valid = rng.random(P) > 0.05
+    inten = rng.random(P).astype(np.float32)
+    args = (jnp.asarray(xyz), jnp.asarray(inten), jnp.asarray(ring),
+            jnp.asarray(valid), N, H, 1.0, 25.0)
+    u = pc.project_compact(*args)  # columns=None -> unique fast path
+    r = np.linalg.norm(xyz, axis=-1)
+    ok = valid & (r >= 1.0) & (r <= 25.0)
+    cols = pc.livox_columns(jnp.asarray(ring), jnp.asarray(ok), N)
+    g = pc.project_compact(*args, columns=cols)  # general path
+    fv = np.asarray(u[4])
+    np.testing.assert_array_equal(fv, np.asarray(g[4]))
+    for i in range(8):
+        a, b = np.asarray(u[i]), np.asarray(g[i])
+        if i in (0, 1):  # xyz / intensity carry junk in masked slots
+            m = fv[:, None] if a.ndim == 2 else fv
+            a, b = np.where(m, a, 0), np.where(m, b, 0)
+        np.testing.assert_allclose(a, b)
+
+
 def test_voxel_downsample_matches_oracle(rng):
     n = 500
     xyz = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
