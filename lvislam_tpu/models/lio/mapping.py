@@ -73,6 +73,11 @@ class LioCaps:
     # fuse the query tail into the Pallas VMEM kernel (`ops.pallas_knn`);
     # TPU only (CPU tests keep the XLA path — identical selection)
     pallas_knn: bool = False
+    # fuse the whole per-iteration coefficient + JtJ pipeline into the
+    # Pallas kernel (`ops.pallas_gn`) — the XLA chain is ~95 kernel
+    # launches of latency per GN iteration; parity tested in
+    # tests/test_pallas_gn.py
+    pallas_gn: bool = False
     # leaf-occupancy dedup tables for incremental map updates (only
     # allocated when LioParams.mapRebuildEvery > 1)
     corner_leaf_table: int = 1 << 15
@@ -669,6 +674,7 @@ def map_step(
             nn_refresh_every=params.nnRefreshEvery,
             use_pallas=caps.pallas_knn,
             gather_once=params.gatherOncePerScan and caps.pallas_knn,
+            use_pallas_gn=caps.pallas_gn,
         )
         return st.x6, st.degenerate, st.num_residuals, st.it
 

@@ -112,11 +112,24 @@ def corner_coeffs(
     may report approximate distances); nn_idx < 0 marks missing neighbors."""
     has = nn_idx >= 0
     nbrs = map_pts[jnp.maximum(nn_idx, 0)]  # (N, 5, 3)
+    return corner_coeffs_nbrs(pts_world, pts_valid, nbrs, has)
+
+
+def corner_coeffs_nbrs(
+    pts_world: jax.Array,  # (N, 3)
+    pts_valid: jax.Array,
+    nbrs: jax.Array,  # (N, 5, 3) gathered neighbor coordinates
+    has: jax.Array,  # (N, 5) neighbor-present mask
+) -> Coeffs:
+    """`corner_coeffs` on pre-gathered neighbor coordinates — the GN loop
+    carries coordinates across iterations so the HBM row gather happens
+    only on correspondence refreshes."""
     d_exact = jnp.where(
         has, jnp.sum((nbrs - pts_world[:, None, :]) ** 2, axis=-1), _BIG
     )
-    nn_sqdist = jnp.sort(d_exact, axis=1)
-    ok = pts_valid & (nn_sqdist[:, 4] < 1.0)
+    # only the max matters (gate: 5th-nearest < 1 m; _BIG for missing
+    # neighbors makes the max also the all-present check)
+    ok = pts_valid & (jnp.max(d_exact, axis=1) < 1.0)
     center = jnp.mean(nbrs, axis=1)
     dev = nbrs - center[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", dev, dev) / 5.0
@@ -159,11 +172,22 @@ def surf_coeffs(
     marks missing neighbors."""
     has = nn_idx >= 0
     nbrs = map_pts[jnp.maximum(nn_idx, 0)]  # (N, 5, 3)
+    return surf_coeffs_nbrs(pts_world, pts_lidar, pts_valid, nbrs, has)
+
+
+def surf_coeffs_nbrs(
+    pts_world: jax.Array,  # (N, 3)
+    pts_lidar: jax.Array,  # (N, 3)
+    pts_valid: jax.Array,
+    nbrs: jax.Array,  # (N, 5, 3) gathered neighbor coordinates
+    has: jax.Array,  # (N, 5)
+) -> Coeffs:
+    """`surf_coeffs` on pre-gathered neighbor coordinates (see
+    `corner_coeffs_nbrs`)."""
     d_exact = jnp.where(
         has, jnp.sum((nbrs - pts_world[:, None, :]) ** 2, axis=-1), _BIG
     )
-    nn_sqdist = jnp.sort(d_exact, axis=1)
-    ok = pts_valid & (nn_sqdist[:, 4] < 1.0) & jnp.all(has, axis=1)
+    ok = pts_valid & (jnp.max(d_exact, axis=1) < 1.0) & jnp.all(has, axis=1)
     # plane fit (reference solves nbrs @ x = -1, x = n/d,
     # `mapOptimization.cpp:1118-1134`): same regularized algebraic fit,
     # computed stably in closed form — batched jnp.linalg.solve on the 3x3
@@ -188,9 +212,9 @@ def surf_coeffs(
     )
 
 
-def _euler_jacobians(x6: jax.Array, pts: jax.Array):
-    """d(R p)/d(roll, pitch, yaw) for R = Rz(y)Ry(p)Rx(r). Returns (N,3,3)
-    where [..., a] is the derivative wrt angle a in (roll, pitch, yaw)."""
+def _euler_jac_mats(x6: jax.Array):
+    """The three d(R)/d(angle) matrices for R = Rz(y)Ry(p)Rx(r), stacked
+    (3, 3, 3) as [Ja (roll), Jb (pitch), Jc (yaw)]."""
     r, p, y = x6[0], x6[1], x6[2]
     cr, sr = jnp.cos(r), jnp.sin(r)
     cp, sp = jnp.cos(p), jnp.sin(p)
@@ -201,9 +225,13 @@ def _euler_jacobians(x6: jax.Array, pts: jax.Array):
     dRz = jnp.array([[-sy, -cy, 0], [cy, -sy, 0], [0, 0, 0]])
     dRy = jnp.array([[-sp, 0, cp], [0, 0, 0], [-cp, 0, -sp]])
     dRx = jnp.array([[0, 0, 0], [0, -sr, -cr], [0, cr, -sr]])
-    Ja = (Rz @ Ry @ dRx)  # d/d roll
-    Jb = (Rz @ dRy @ Rx)  # d/d pitch
-    Jc = (dRz @ Ry @ Rx)  # d/d yaw
+    return jnp.stack([Rz @ Ry @ dRx, Rz @ dRy @ Rx, dRz @ Ry @ Rx])
+
+
+def _euler_jacobians(x6: jax.Array, pts: jax.Array):
+    """d(R p)/d(roll, pitch, yaw) for R = Rz(y)Ry(p)Rx(r). Returns (N,3,3)
+    where [..., a] is the derivative wrt angle a in (roll, pitch, yaw)."""
+    Ja, Jb, Jc = _euler_jac_mats(x6)
     # (N,3) per angle
     return jnp.stack([pts @ Ja.T, pts @ Jb.T, pts @ Jc.T], axis=-1)
 
@@ -237,6 +265,23 @@ def gn_update(
     H = J.T @ J  # (6,6)
     g = J.T @ b
     n_res = jnp.sum(coeffs.valid)
+    return gn_solve(x6, H, g, n_res, iter0, proj_prev, degen_prev,
+                    eigen_thresh=eigen_thresh)
+
+
+def gn_solve(
+    x6: jax.Array,
+    H: jax.Array,  # (6,6)
+    g: jax.Array,  # (6,)
+    n_res: jax.Array,  # () int32
+    iter0: jax.Array,
+    proj_prev: jax.Array,
+    degen_prev: jax.Array,
+    eigen_thresh: float = 100.0,
+):
+    """The solve/degeneracy/convergence half of `gn_update`, on a
+    pre-assembled normal-equation system (shared with the Pallas fused
+    row-reduction path, `ops.pallas_gn`)."""
 
     def compute_proj(_):
         ew, ev = jnp.linalg.eigh(H)  # ascending, columns = eigenvectors
@@ -261,7 +306,7 @@ def gn_update(
 
 @partial(jax.jit, static_argnames=(
     "max_iters", "nn_refresh_every", "use_pallas", "gather_once",
-    "pallas_interpret"))
+    "use_pallas_gn", "pallas_interpret"))
 def scan_to_map_hashed(
     x6_init: jax.Array,  # (6,) initial guess [r, p, y, tx, ty, tz]
     corner_pts: jax.Array,  # (C, 3) scan edge features (lidar frame)
@@ -277,6 +322,7 @@ def scan_to_map_hashed(
     nn_refresh_every: int = 1,
     use_pallas: bool = False,
     gather_once: bool = False,
+    use_pallas_gn: bool = False,  # fused coeffs+JtJ kernel (ops.pallas_gn)
     pallas_interpret: bool = False,  # CPU tests: interpret-mode kernels
 ) -> "GNState":
     """`scan_to_map` with the voxel-hash gated 5-NN (`ops.voxel_hash`):
@@ -314,6 +360,14 @@ def scan_to_map_hashed(
     C = corner_pts.shape[0]
     S = surf_pts.shape[0]
 
+    if use_pallas_gn:
+        from . import pallas_gn
+
+        # loop-invariant point blocks (the kernel applies the world
+        # transform itself, so these pack once per scan)
+        c_blk = pallas_gn.pack_pts(corner_pts, corner_valid)
+        s_blk = pallas_gn.pack_pts(surf_pts, surf_valid)
+
     if gather_once:
         t0 = x6_init[3:6]
         Rm0 = lie.ypr_to_matrix(
@@ -327,7 +381,15 @@ def scan_to_map_hashed(
         return (st.it < max_iters) & (~st.converged)
 
     def body(carry):
-        st, ci, cd, si, sd = carry
+        # carry holds neighbor COORDINATES (+ present masks), not indices:
+        # the HBM row gather map[idx] then happens only on refresh
+        # iterations instead of every iteration. The pallas_gn mode
+        # carries the kernel's packed (24, N) neighbor blocks instead.
+        if use_pallas_gn:
+            st, cn, sn = carry
+            ch = sh = None
+        else:
+            st, cn, ch, sn, sh = carry
         t = st.x6[3:6]
         Rm = lie.ypr_to_matrix(
             jnp.stack([st.x6[2], st.x6[1], st.x6[0]]) * (180.0 / jnp.pi)
@@ -335,59 +397,90 @@ def scan_to_map_hashed(
         cw = corner_pts @ Rm.T + t
         sw = surf_pts @ Rm.T + t
 
-        if gather_once:
-            # re-score the cached neighborhoods at the current pose on the
-            # refresh schedule — the HBM row gather happened ONCE at the
-            # initial pose, so a refresh costs only the VMEM tail kernel
-            # (~3x cheaper than a full re-gathering query)
-            def rescore(_):
-                ci2, cd2 = vh.query_score(corner_hash, g_corner, cw, 5,
-                                          interpret=pallas_interpret)
-                si2, sd2 = vh.query_score(surf_hash, g_surf, sw, 5,
-                                          interpret=pallas_interpret)
-                return ci2, cd2, si2, sd2
+        def _nn_idx(cw_, sw_):
+            if gather_once:
+                # re-score the cached neighborhoods at the current pose on
+                # the refresh schedule — the HBM row gather happened ONCE
+                # at the initial pose, so a refresh costs only the VMEM
+                # tail kernel (~3x cheaper than a full re-gathering query)
+                ci, _ = vh.query_score(corner_hash, g_corner, cw_, 5,
+                                       interpret=pallas_interpret)
+                si, _ = vh.query_score(surf_hash, g_surf, sw_, 5,
+                                       interpret=pallas_interpret)
+            else:
+                ci, _ = q_fn(corner_hash, cw_, 5)
+                si, _ = q_fn(surf_hash, sw_, 5)
+            return ci, si
 
-            do = (st.it % nn_refresh_every) == 0
-            ci, cd, si, sd = jax.lax.cond(
-                do, rescore, lambda _: (ci, cd, si, sd), None
+        do = (st.it % nn_refresh_every) == 0
+        if use_pallas_gn:
+            # the whole coefficient + JtJ pipeline for each feature class
+            # runs as ONE Pallas program (ops.pallas_gn) — the XLA chain is
+            # ~95 kernel launches per iteration of mostly latency. The
+            # carry holds the PACKED neighbor blocks; only the 39-scalar
+            # pose block changes between refreshes.
+            from . import pallas_gn
+
+            def rescore(_):
+                ci, si = _nn_idx(cw, sw)
+                return (
+                    pallas_gn.pack_nbrs(map_corner[jnp.maximum(ci, 0)],
+                                        ci >= 0),
+                    pallas_gn.pack_nbrs(map_surf[jnp.maximum(si, 0)],
+                                        si >= 0),
+                )
+
+            cn, sn = jax.lax.cond(do, rescore, lambda _: (cn, sn), None)
+            par = pallas_gn.pack_pose(Rm, t, _euler_jac_mats(st.x6))
+            Hc, gc, nc = pallas_gn.gn_partials_packed(
+                c_blk, cn, par, kind="corner", interpret=pallas_interpret)
+            Hs, gs, ns = pallas_gn.gn_partials_packed(
+                s_blk, sn, par, kind="surf", interpret=pallas_interpret)
+            new_x, conv, proj, degen, n_res = gn_solve(
+                st.x6, Hc + Hs, gc + gs, nc + ns, st.it == 0,
+                st.proj, st.degenerate, eigen_thresh=eigen_thresh,
             )
         else:
-            def refresh(_):
-                ci2, cd2 = q_fn(corner_hash, cw, 5)
-                si2, sd2 = q_fn(surf_hash, sw, 5)
-                return ci2, cd2, si2, sd2
+            def rescore(_):
+                ci, si = _nn_idx(cw, sw)
+                return (map_corner[jnp.maximum(ci, 0)], ci >= 0,
+                        map_surf[jnp.maximum(si, 0)], si >= 0)
 
-            do = (st.it % nn_refresh_every) == 0
-            ci, cd, si, sd = jax.lax.cond(
-                do, refresh, lambda _: (ci, cd, si, sd), None
+            cn, ch, sn, sh = jax.lax.cond(
+                do, rescore, lambda _: (cn, ch, sn, sh), None
             )
-        cc = corner_coeffs(cw, corner_valid, map_corner, ci, cd)
-        sc = surf_coeffs(sw, surf_pts, surf_valid, map_surf, si, sd)
-        coeffs = Coeffs(
-            normal=jnp.concatenate([cc.normal, sc.normal]),
-            offset=jnp.concatenate([cc.offset, sc.offset]),
-            valid=jnp.concatenate([cc.valid, sc.valid]),
-        )
-        pts = jnp.concatenate([corner_pts, surf_pts])
-        new_x, conv, proj, degen, n_res = gn_update(
-            st.x6, pts, coeffs, st.it == 0, st.proj, st.degenerate,
-            eigen_thresh=eigen_thresh,
-        )
-        return (
-            GNState(x6=new_x, it=st.it + 1, converged=conv, degenerate=degen,
-                    proj=proj, num_residuals=n_res),
-            ci, cd, si, sd,
-        )
+            cc = corner_coeffs_nbrs(cw, corner_valid, cn, ch)
+            sc = surf_coeffs_nbrs(sw, surf_pts, surf_valid, sn, sh)
+            coeffs = Coeffs(
+                normal=jnp.concatenate([cc.normal, sc.normal]),
+                offset=jnp.concatenate([cc.offset, sc.offset]),
+                valid=jnp.concatenate([cc.valid, sc.valid]),
+            )
+            pts = jnp.concatenate([corner_pts, surf_pts])
+            new_x, conv, proj, degen, n_res = gn_update(
+                st.x6, pts, coeffs, st.it == 0, st.proj, st.degenerate,
+                eigen_thresh=eigen_thresh,
+            )
+        st_new = GNState(x6=new_x, it=st.it + 1, converged=conv,
+                         degenerate=degen, proj=proj, num_residuals=n_res)
+        if use_pallas_gn:
+            return (st_new, cn, sn)
+        return (st_new, cn, ch, sn, sh)
 
-    init = (
-        GNState(
-            x6=x6_init, it=jnp.int32(0), converged=jnp.array(False),
-            degenerate=jnp.array(False), proj=jnp.eye(6, dtype=x6_init.dtype),
-            num_residuals=jnp.int32(0),
-        ),
-        jnp.full((C, 5), -1, jnp.int32), jnp.full((C, 5), _BIG),
-        jnp.full((S, 5), -1, jnp.int32), jnp.full((S, 5), _BIG),
+    st0 = GNState(
+        x6=x6_init, it=jnp.int32(0), converged=jnp.array(False),
+        degenerate=jnp.array(False), proj=jnp.eye(6, dtype=x6_init.dtype),
+        num_residuals=jnp.int32(0),
     )
+    if use_pallas_gn:
+        init = (st0, jnp.zeros((24, C), jnp.float32),
+                jnp.zeros((24, S), jnp.float32))
+    else:
+        init = (st0,
+                jnp.zeros((C, 5, 3), corner_pts.dtype),
+                jnp.zeros((C, 5), bool),
+                jnp.zeros((S, 5, 3), surf_pts.dtype),
+                jnp.zeros((S, 5), bool))
     return jax.lax.while_loop(cond, body, init)[0]
 
 
