@@ -312,12 +312,16 @@ def lie_mat_to_quat(R):
 def _lvi_section(out):
     """BASELINE config 5 MEASURED: the full tightly-coupled fused system
     (LIO + VIO + depth + guess exchanges) replayed end-to-end, wall-clock
-    per simulated second. Includes every host<->device transfer — on this
-    box that is the dominant term (~25 ms per committed RPC through the
-    axon tunnel; 4 RPCs per 100 ms cycle), so the measured number reflects
-    the TUNNEL, not the kernels; `lvi_rtf_bound` is the device-time bound.
-    Runs at the integration-test operating point (320x240 camera, 4x900
-    scans) with the same code path as the 1024x576 rig."""
+    per simulated second, including every host<->device transfer. The
+    timed segment runs the batched fused replay (`models/replay.py`,
+    `replay_batch=16`): all cross-subsystem exchanges device-resident,
+    one upload + one deferred readback per 16 sensor events — without it
+    the ~25 ms/RPC axon tunnel (4 RPCs per 100 ms cycle) caps the measured
+    number at ~1x regardless of kernel speed. Warmup (pre-VIO-init) runs
+    the interactive path. Parity with the interactive path is tested in
+    tests/test_lvi_replay.py. Runs at the integration-test operating point
+    (320x240 camera, 4x900 scans) with the same code path as the 1024x576
+    rig."""
     import sys
     import time
 
@@ -330,6 +334,7 @@ def _lvi_section(out):
     from lvislam_tpu.utils.metrics import ate_rmse
 
     sys_ = make_system()
+    sys_.cfg.replay_batch = 16
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0
@@ -378,6 +383,7 @@ def _lvi_section(out):
     out["lvi_rtf_measured"] = round(timed_s / wall, 2)
     out["lvi_ate_rmse_m"] = round(float(ate_rmse(est_pos, gt, align=True)), 4)
     out["lvi_vio_initialized"] = bool(sys_._vio_initialized)
+    out["lvi_replay_active"] = sys_._replay_statics is not None
 
 
 def main():

@@ -87,6 +87,10 @@ def lio_full_step(
     packed,  # (P*6 + M*8 + 48,) int16 — ONE transfer per scan: the axon
              # attachment pays per-copy latency AND is bandwidth-bound, so
              # all inputs ride one flat quantized buffer unpacked on device.
+    odom_override=None,  # optional device-resident VINS guess
+                         # (avail, trans(3), quat(4), reset_id) replacing
+                         # the packed odom fields — the fused batched
+                         # replay keeps exchange 1 on-device (replay.py)
     *,
     n_scan, horizon, min_range, max_range,
     edge_threshold, surf_threshold, surf_leaf,
@@ -120,6 +124,9 @@ def lio_full_step(
     odom_trans = misc[7:10]
     odom_quat = misc[10:14]
     odom_reset_id = misc[14].astype(jnp.int32)
+    if odom_override is not None:
+        odom_available, odom_trans, odom_quat, odom_reset_id = odom_override
+        odom_reset_id = odom_reset_id.astype(jnp.int32)
     do_loop = misc[15] > 0.5
     gps_available = misc[16] > 0.5
     gps_pos = misc[17:20]

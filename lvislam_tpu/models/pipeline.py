@@ -118,6 +118,14 @@ class LviConfig:
     # match_image topics as files)
     debug_dir: str | None = None
     debug_every: int = 10
+    # Batched fused replay (models/replay.py): when > 1 and the VIO has
+    # initialized, sensor events are staged host-side and shipped K at a
+    # time as ONE upload + ONE deferred readback, with every cross-subsystem
+    # exchange running device-resident. Removes the ~4 tunnel RPCs x ~25 ms
+    # per 100 ms cycle that otherwise cap the measured full-fusion replay
+    # at ~1x real time (NOTES.md). Pre-init warmup and failure recovery run
+    # the interactive path. Mutually exclusive with pipeline_devices.
+    replay_batch: int = 1
     # Pipelined multi-chip placement: (dev_lio, dev_tracker, dev_estimator)
     # jax devices, or None for the fused single-device path. The reference
     # stack is SEVEN asynchronous processes; on a TPU pod the same
@@ -194,6 +202,15 @@ class LviSystem:
         self.vio_frames = 0
         self.frame_times: list[float] = []  # VIO window frame stamps
 
+        # batched fused replay (models/replay.py)
+        self._replay_active = False
+        self._carry = None
+        self._replay_statics = None
+        self._ev_rows: list = []
+        self._ev_meta: list = []
+        self._pending: list = []  # shipped batches awaiting readback
+        self._replay_last_frame_t = -1.0
+
         self.metrics = MetricsLogger(cfg.metrics_path)
         self.bus.subscribe("imu", self._on_imu)
         self.bus.subscribe("lidar", lambda t, m: self._timed("lidar", self._on_lidar, t, m))
@@ -263,8 +280,200 @@ class LviSystem:
                 gyrs[n:] = gyrs[n - 1]
         return dts, accs, gyrs, n
 
+    # ------------------------------------------------- batched fused replay
+    def _maybe_activate_replay(self) -> bool:
+        """Switch to staged device-resident replay once the VIO is up."""
+        if self._replay_active:
+            return True
+        if (
+            self.cfg.replay_batch <= 1
+            or self._pipelined
+            or not self._vio_initialized
+            or self.vins_odom is None
+        ):
+            return False
+        from . import replay as rp
+
+        self.lio.flush()
+        if self._replay_statics is None:
+            self._replay_statics = rp.statics_from(self.cfg)
+        vo = self.vins_odom
+        vins = np.concatenate([
+            [vo["stamp"]], vo["trans"], vo["quat"], vo["vel"],
+            vo["ba"], vo["bg"], [float(vo["reset_id"])], [1.0],
+        ]).astype(np.float32)
+        self._carry = rp.ReplayCarry(
+            lio=self.lio.state, fusion=self.fusion, tracker=self.tracker,
+            vio=self.vio, loop_db=self.loop_db,
+            depth_clouds=self.depth_clouds, depth_valid=self.depth_valid,
+            depth_stamps=jnp.asarray(self.depth_stamps.astype(np.float32)),
+            depth_slot=jnp.int32(self.depth_slot),
+            vins=jnp.asarray(vins),
+        )
+        self._replay_last_frame_t = float(vo["stamp"])
+        self._replay_active = True
+        return True
+
+    def _stage_scan(self, stamp, scan):
+        from . import replay as rp
+        from .lio.pipeline import pack_scan
+
+        cfg = self.cfg
+        self.lio.scan_counter += 1
+        do_loop = (
+            cfg.lio.loop_closure_enabled
+            and self.lio.scan_counter % cfg.lio.loop_every_n_scans == 0
+        )
+        ts = np.asarray(self.imu_times)
+        sel = np.nonzero((ts >= stamp - 0.01) & (ts <= stamp + 0.15))[0]
+        irt = (ts[sel] - stamp).astype(np.float32)
+        ig = np.stack([self.imu_gyro[i] for i in sel]) if len(sel) else np.zeros((0, 3), np.float32)
+        rpy = self.imu_rpy[sel[0]] if len(sel) else None
+        if rpy is not None and not np.isfinite(rpy).all():
+            rpy = None
+        gps = None
+        if self.last_gps is not None and abs(self.last_gps["stamp"] - stamp) < 0.2:
+            gps = self.last_gps
+        scan_buf = pack_scan(
+            cfg.lio, dict(scan, stamp=stamp), irt, ig, rpy,
+            odom=None, gps=gps, do_loop=do_loop,
+        )
+        guess = self._imu_window(self._replay_last_frame_t, stamp, rp.GUESS_CAP)
+        glue = self._imu_window(self.last_lidar_time, stamp, rp.GLUE_CAP)
+        self.last_lidar_time = stamp
+        self.lidar_counter += 1
+        do_depth = cfg.use_lidar_depth and (
+            self.lidar_counter % (cfg.lidar_skip + 1) == 0
+        )
+        row = rp.pack_scan_event(
+            self._replay_statics, scan_buf, do_depth, guess, glue,
+        )
+        self._push_event(rp.KIND_SCAN, stamp, row)
+
+    def _stage_frame(self, stamp, msg):
+        from . import replay as rp
+        from .vio import frame_step as fs
+
+        cfg = self.cfg
+        td = self._td if cfg.ba.estimate_td else 0.0
+        dts = accs = gyrs = np.zeros(0, np.float32)
+        n = 0
+        if self.last_image_time > 0:
+            dts, accs, gyrs, n = self._imu_window(
+                self.last_image_time + td, stamp + td, cfg.vio_caps.imu_buf,
+                interp_end=True,
+            )
+        self.last_image_time = stamp
+        self.frame_times.append(stamp)
+        if len(self.frame_times) > 64:
+            del self.frame_times[:32]
+        fbuf = fs.pack_frame(
+            cfg.vio_caps, np.asarray(msg["image"]), stamp, dts, accs, gyrs, n,
+            np.zeros(cfg.depth_cloud_slots, bool),  # device computes freshness
+            None, None, None,
+        )
+        row = rp.pack_frame_event(self._replay_statics, fbuf)
+        self._replay_last_frame_t = stamp
+        self._push_event(rp.KIND_FRAME, stamp, row)
+
+    def _push_event(self, kind, stamp, row):
+        self._ev_rows.append(row)
+        self._ev_meta.append((kind, stamp))
+        if len(self._ev_rows) >= self.cfg.replay_batch:
+            self._ship_events()
+
+    def _ship_events(self):
+        from . import replay as rp
+
+        rows, meta = self._ev_rows, self._ev_meta
+        self._ev_rows, self._ev_meta = [], []
+        while len(rows) < self.cfg.replay_batch:
+            rows.append(rp.pack_noop_event(self._replay_statics))
+            meta.append((rp.KIND_NOOP, 0.0))
+        arr = jnp.asarray(np.stack(rows))  # the one upload per batch
+        self._carry, outs = rp.replay_batch_step(
+            self._carry, arr, self._replay_statics
+        )
+        # keep host references pointing at the live device state (free)
+        self.lio.state = self._carry.lio
+        self.fusion = self._carry.fusion
+        self.tracker = self._carry.tracker
+        self.vio = self._carry.vio
+        self.loop_db = self._carry.loop_db
+        self.depth_clouds = self._carry.depth_clouds
+        self.depth_valid = self._carry.depth_valid
+        self._pending.append((meta, outs))
+        # materialize the PREVIOUS batch (its compute is done by now: the
+        # deferred readback costs one RPC of transfer latency, not a stall)
+        if len(self._pending) > 1:
+            self._process_outputs(*self._pending.pop(0))
+
+    def _process_outputs(self, meta, outs):
+        from . import replay as rp
+
+        o = np.asarray(outs)  # the one readback per batch
+        lost_init = False
+        for (kind, stamp), row in zip(meta, o):
+            if kind == rp.KIND_SCAN:
+                self.trajectory.append((stamp, row[1:7]))
+            elif kind == rp.KIND_FRAME:
+                self._td = float(row[1 + rp._SCAN_OUT + 16])
+                ok = row[1 + rp._SCAN_OUT + 17] > 0.5
+                self.vio_frames += 1
+                if not ok:
+                    lost_init = True
+        if lost_init:
+            self._deactivate_replay()
+
+    def _replay_flush(self):
+        """Drain staged events + pending readbacks (end of a run() drive)."""
+        if not self._replay_active:
+            return
+        if self._ev_rows:
+            self._ship_events()
+        while self._pending:
+            self._process_outputs(*self._pending.pop(0))
+
+    def _deactivate_replay(self):
+        """VIO failure during batched replay: hand state back to the
+        interactive path (which owns re-initialization, exchange 5)."""
+        if not self._replay_active:
+            return
+        self._replay_active = False  # guard first: drain without recursion
+        if self._ev_rows:
+            self._ship_events()
+        while self._pending:
+            meta, outs = self._pending.pop(0)
+            # plain readback only — no recursive deactivation
+            o = np.asarray(outs)
+            from . import replay as rp
+
+            for (kind, stamp), row in zip(meta, o):
+                if kind == rp.KIND_SCAN:
+                    self.trajectory.append((stamp, row[1:7]))
+                elif kind == rp.KIND_FRAME:
+                    self._td = float(row[1 + rp._SCAN_OUT + 16])
+                    self.vio_frames += 1
+        carry = self._carry
+        self.depth_stamps = np.asarray(carry.depth_stamps, np.float64)
+        self.depth_slot = int(carry.depth_slot)
+        vins = np.asarray(carry.vins)
+        if vins[18] > 0.5 and np.isfinite(vins[:8]).all():
+            self.vins_odom = dict(
+                stamp=float(vins[0]), trans=vins[1:4], quat=vins[4:8],
+                vel=vins[8:11], ba=vins[11:14], bg=vins[14:17],
+                reset_id=int(vins[17]),
+            )
+        self._vio_initialized = False
+        self.lio_odoms = []  # stale fused-odometry stream: force re-seed
+        self._carry = None
+        self._replay_active = False
+
     # ---------------------------------------------------------------- LIDAR
     def _on_lidar(self, stamp, scan):
+        if self._maybe_activate_replay():
+            self._stage_scan(stamp, scan)
+            return
         # exchange 1: VIS initial guess for the LIS (incremental, reset-id
         # guarded), propagated from the last VIO frame to the scan stamp
         # with the raw IMU samples — the IMU-rate `imu_propagate` guess
@@ -379,6 +588,9 @@ class LviSystem:
         + ONE 21-float readback (`models/vio/frame_step.py`); the reference
         spreads this across five callbacks in two processes
         (`feature_tracker_node.cpp:98-270`, `estimator_node.cpp:218-355`)."""
+        if self._maybe_activate_replay():
+            self._stage_frame(stamp, msg)
+            return
         cfg = self.cfg
         img_np = np.asarray(msg["image"])
 
@@ -732,3 +944,4 @@ class LviSystem:
         self.bus.run()
         if self._pipelined:
             self._estimate_pending()  # drain the one-frame pipeline tail
+        self._replay_flush()  # drain staged events + deferred readbacks

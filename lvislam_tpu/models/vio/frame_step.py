@@ -120,6 +120,11 @@ def frame_step(
     width: int,
     use_depth: bool = True,
     rolling_shutter_tr: float = 0.0,
+    depth_stamps: jax.Array | None = None,  # (S,) device ring stamps: when
+    # given, the 5 s freshness mask is computed HERE instead of host-packed
+    # (the fused batched replay keeps the ring fully device-resident)
+    body_override=None,  # (avail, trans(3), quat(4)) device-resident
+    # vins_world->vins_body TF replacing the packed misc fields (replay.py)
 ):
     """Returns (tracker', vio', tout, depth, summary(21,) f32).
 
@@ -140,6 +145,13 @@ def frame_step(
     t = misc[0]
     imu_n = misc[1].astype(jnp.int32)
     fresh = f[M * 7 + _MISC : M * 7 + _MISC + S] > 0.5
+    if depth_stamps is not None:
+        fresh = depth_stamps > t - 5.0
+    body_avail = misc[2] > 0.5
+    body_trans = misc[3:6]
+    body_quat = misc[6:10]
+    if body_override is not None:
+        body_avail, body_trans, body_quat = body_override
     sd = f[M * 7 + _MISC + S :]
     seed = dict(
         available=misc[10] > 0.5,
@@ -156,12 +168,12 @@ def frame_step(
     # ---- exchange 2: lidar depth channel ----
     depth = jnp.full((tparams.max_cnt,), -1.0, jnp.float32)
     if use_depth:
-        depth_on = (misc[2] > 0.5) & jnp.any(fresh)
+        depth_on = body_avail & jnp.any(fresh)
         d = ft.register_depth(
             tout.norm, tout.valid,
             depth_clouds.reshape(S * depth_clouds.shape[1], 3),
             (depth_valid & fresh[:, None]).reshape(-1),
-            misc[3:6], misc[6:10],
+            body_trans, body_quat,
         )
         depth = jnp.where(depth_on, d, depth)
 
