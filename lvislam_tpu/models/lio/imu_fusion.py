@@ -55,6 +55,11 @@ class FusionParams:
     # failure thresholds (`failureDetection`, `:458-476`)
     maxVelocity: float = 30.0
     maxBias: float = 1.0
+    # lidar->IMU lever arm (`params_lidar.yaml` extrinsicTrans): the lidar
+    # correction pose is composed with lidar2Imu before the smoother and the
+    # published state composes back with imu2Lidar
+    # (`imuPreintegration.cpp:200-203,313,402,509`). Zero on the shipped rig.
+    extTrans: tuple = (0.0, 0.0, 0.0)
 
 
 class FusionState(NamedTuple):

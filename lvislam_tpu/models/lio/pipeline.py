@@ -25,12 +25,24 @@ from ...core import lie
 from . import frontend, mapping
 
 
+_EXT_IDENTITY = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
 @dataclasses.dataclass
 class LioConfig:
     n_scan: int = 4
     horizon: int = 1800
     point_capacity: int = 8192
     imu_capacity: int = 64
+    # IMU->lidar extrinsic rotations (`params_lidar.yaml` extrinsicRot /
+    # extrinsicRPY, row-major 3x3): every IMU sample entering the LIS is
+    # rotated into the lidar frame first — the reference's `imuConverter`
+    # (`lidar_odometry/src/utility.h:315-349`, applied at
+    # `imageProjection.cpp:193` and `imuPreintegration.cpp:482`). Applied
+    # here in `pack_scan` (the imageProjection entry); the fusion-glue /
+    # seed windows convert in `LviSystem` (the imuPreintegration entry).
+    ext_rot: tuple = _EXT_IDENTITY
+    ext_rpy: tuple = _EXT_IDENTITY
     caps: mapping.LioCaps = dataclasses.field(default_factory=mapping.LioCaps)
     params: mapping.LioParams = dataclasses.field(default_factory=mapping.LioParams)
     min_range: float = 1.0
@@ -210,6 +222,42 @@ def lio_batch_step(state, arr, **kw):
     return jax.lax.scan(body, state, arr)
 
 
+def ext_matrix(v) -> np.ndarray | None:
+    """Row-major 9-tuple -> (3,3) float64, or None when identity (the
+    shipped rig) so the hot packing path can skip the rotation."""
+    R = np.asarray(v, np.float64).reshape(3, 3)
+    return None if np.allclose(R, np.eye(3)) else R
+
+
+def _rpy_to_matrix(rpy):
+    r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr, cp, sp, cy, sy = np.cos(r), np.sin(r), np.cos(p), np.sin(p), np.cos(y), np.sin(y)
+    return np.array([
+        [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+        [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+        [-sp, cp * sr, cp * cr],
+    ])
+
+
+def _matrix_to_rpy(R):
+    return np.array([
+        np.arctan2(R[2, 1], R[2, 2]),
+        -np.arcsin(np.clip(R[2, 0], -1.0, 1.0)),
+        np.arctan2(R[1, 0], R[0, 0]),
+    ], np.float32)
+
+
+def rpy_to_lidar(rpy, ext_rpy) -> np.ndarray:
+    """Rotate a 9-axis attitude into the lidar frame: q_final = q_from *
+    extQRPY (`utility.h:334-335` — upstream LIO-SAM semantics; this fork
+    pins q_final = extQRPY because its MID360 rig has no orientation, which
+    our rpy=None path models). No-op for identity extrinsicRPY."""
+    R_ext = ext_matrix(ext_rpy)
+    if R_ext is None or rpy is None:
+        return rpy
+    return _matrix_to_rpy(_rpy_to_matrix(rpy) @ R_ext)
+
+
 def pack_scan(
     cfg: LioConfig,
     scan: dict,
@@ -224,6 +272,13 @@ def pack_scan(
     upload buffer `lio_full_step` unpacks on device (layout documented
     there)."""
     P, M = cfg.point_capacity, cfg.imu_capacity
+    # IMU->lidar extrinsic (`imuConverter`, utility.h:315-349): gyro rotated
+    # by extRot, attitude composed with extQRPY, before anything else reads
+    # the samples (here: the deskew rotation table + the RPY initial guess)
+    R_ext = ext_matrix(cfg.ext_rot)
+    if R_ext is not None and len(imu_gyro):
+        imu_gyro = np.asarray(imu_gyro) @ R_ext.T
+    imu_rpy_init = rpy_to_lidar(imu_rpy_init, cfg.ext_rpy)
     buf = np.zeros(P * 6 + M * 8 + 48, np.int16)
     # planar (6, P) field rows: each field is lane-contiguous on device, so
     # the int16 -> f32 dequant runs on full tiles (a (P, 6) layout pads the

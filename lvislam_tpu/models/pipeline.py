@@ -61,6 +61,12 @@ def _scan_glue(
     imu = buf[1:].reshape(M, 7)
     dts = jnp.where(jnp.arange(M) < n, imu[:, 0], 0.0)
     t_inc, q_inc = mapping._x6_to_tq(incr_x6)
+    # lidar->IMU lever arm: compose the lidar correction pose with
+    # lidar2Imu = (I, extTrans) so the smoother runs on the IMU-frame pose
+    # (`imuPreintegration.cpp:313,402`); no-op for the shipped zero
+    # extrinsicTrans
+    p_ext = jnp.asarray(fparams.extTrans, jnp.float32)
+    t_inc = t_inc + lie.quat_rotate(q_inc[None], p_ext[None])[0]
 
     def do_init(fu):
         return fus.fusion_initialize(fu, t_inc, q_inc, fparams)
@@ -77,9 +83,12 @@ def _scan_glue(
         )
 
     fusion2 = jax.lax.cond(fusion.initialized, do_correct, do_init, fusion)
+    # publish in the lidar frame: imuPose.compose(imu2Lidar)
+    # (`imuPreintegration.cpp:509`); identity when extTrans is zero
+    pub_pos = fusion2.pos - lie.quat_rotate(fusion2.quat[None], p_ext[None])[0]
     summary = jnp.concatenate([
         x6,
-        fusion2.pos, fusion2.quat, fusion2.vel, fusion2.ba, fusion2.bg,
+        pub_pos, fusion2.quat, fusion2.vel, fusion2.ba, fusion2.bg,
         fusion2.reset_id.astype(jnp.float32)[None],
         degenerate.astype(jnp.float32)[None],
         kf_count.astype(jnp.float32)[None],
@@ -170,11 +179,24 @@ class LviSystem:
         else:
             self._dev_lio = self._dev_trk = self._dev_vio = None
 
-        # host-side buffers
+        # host-side buffers (raw IMU frame — the VIS consumes these, like
+        # the reference's vins_estimator subscribing the raw topic)
         self.imu_times: list[float] = []
         self.imu_gyro: list[np.ndarray] = []
         self.imu_acc: list[np.ndarray] = []
         self.imu_rpy: list[np.ndarray] = []
+        # lidar-frame copies (`imuConverter`, utility.h:315-349) — every LIS
+        # consumer (fusion glue, lidar-seed propagation) reads these; when
+        # the extrinsic is identity they alias the raw lists (zero cost).
+        # The deskew window + RPY conversion happens in `pack_scan`.
+        from .lio.pipeline import ext_matrix
+        self._ext_rot = ext_matrix(cfg.lio.ext_rot)
+        if self._ext_rot is None:
+            self.imu_gyro_l = self.imu_gyro
+            self.imu_acc_l = self.imu_acc
+        else:
+            self.imu_gyro_l: list[np.ndarray] = []
+            self.imu_acc_l: list[np.ndarray] = []
         self.last_image_time = -1.0
         self.last_lidar_time = -1.0
         self.lidar_counter = 0
@@ -229,8 +251,14 @@ class LviSystem:
     # ------------------------------------------------------------------ IMU
     def _on_imu(self, stamp, msg):
         self.imu_times.append(stamp)
-        self.imu_gyro.append(np.asarray(msg["gyro"], np.float32))
-        self.imu_acc.append(np.asarray(msg["acc"], np.float32))
+        gyro = np.asarray(msg["gyro"], np.float32)
+        acc = np.asarray(msg["acc"], np.float32)
+        self.imu_gyro.append(gyro)
+        self.imu_acc.append(acc)
+        if self._ext_rot is not None:  # lidar-frame copies (imuConverter)
+            R = self._ext_rot
+            self.imu_gyro_l.append((R @ gyro).astype(np.float32))
+            self.imu_acc_l.append((R @ acc).astype(np.float32))
         # rpy may be absent OR explicitly None (IMUs without orientation,
         # e.g. MID360 bags) — np.asarray(None) is NaN and would poison the
         # roll/pitch slerp in `_transform_update`; keep a NaN sentinel row
@@ -242,14 +270,21 @@ class LviSystem:
         )
         # bound buffers to ~10 s at 500 Hz
         if len(self.imu_times) > 5000:
-            for b in (self.imu_times, self.imu_gyro, self.imu_acc, self.imu_rpy):
+            bufs = [self.imu_times, self.imu_gyro, self.imu_acc, self.imu_rpy]
+            if self._ext_rot is not None:
+                bufs += [self.imu_gyro_l, self.imu_acc_l]
+            for b in bufs:
                 del b[:1000]
 
-    def _imu_window(self, t0, t1, cap, interp_end=False):
+    def _imu_window(self, t0, t1, cap, interp_end=False, lidar_frame=False):
         """IMU samples in (t0, t1]. With `interp_end`, a synthetic final
         sample is linearly interpolated at exactly t1 from the straddling
         pair — the reference's td-aware boundary handling when pairing IMU
-        to a frame at t_img+td (`estimator_node.cpp:333-349`)."""
+        to a frame at t_img+td (`estimator_node.cpp:333-349`). With
+        `lidar_frame`, samples come from the imuConverter-rotated buffers
+        (the LIS-side windows, `utility.h:315-349`)."""
+        imu_acc = self.imu_acc_l if lidar_frame else self.imu_acc
+        imu_gyro = self.imu_gyro_l if lidar_frame else self.imu_gyro
         ts = np.asarray(self.imu_times)
         sel = np.nonzero((ts > t0) & (ts <= t1))[0]
         n = min(len(sel), cap)
@@ -259,8 +294,8 @@ class LviSystem:
         if n > 0:
             tt = ts[sel[:n]]
             dts[:n] = np.diff(tt, prepend=t0).astype(np.float32)
-            accs[:n] = np.stack([self.imu_acc[i] for i in sel[:n]])
-            gyrs[:n] = np.stack([self.imu_gyro[i] for i in sel[:n]])
+            accs[:n] = np.stack([imu_acc[i] for i in sel[:n]])
+            gyrs[:n] = np.stack([imu_gyro[i] for i in sel[:n]])
             accs[n:] = accs[n - 1]
             gyrs[n:] = gyrs[n - 1]
             if interp_end and n < cap and tt[n - 1] < t1:
@@ -269,11 +304,11 @@ class LviSystem:
                     # lerp the straddling sample at exactly t1 (`:340-348`)
                     ta, tb = ts[k_last], ts[k_last + 1]
                     w = (t1 - ta) / max(tb - ta, 1e-9)
-                    accs[n] = (1 - w) * self.imu_acc[k_last] + w * self.imu_acc[k_last + 1]
-                    gyrs[n] = (1 - w) * self.imu_gyro[k_last] + w * self.imu_gyro[k_last + 1]
+                    accs[n] = (1 - w) * imu_acc[k_last] + w * imu_acc[k_last + 1]
+                    gyrs[n] = (1 - w) * imu_gyro[k_last] + w * imu_gyro[k_last + 1]
                 else:
-                    accs[n] = self.imu_acc[k_last]
-                    gyrs[n] = self.imu_gyro[k_last]
+                    accs[n] = imu_acc[k_last]
+                    gyrs[n] = imu_gyro[k_last]
                 dts[n] = t1 - tt[n - 1]
                 n += 1
                 accs[n:] = accs[n - 1]
@@ -339,7 +374,8 @@ class LviSystem:
             odom=None, gps=gps, do_loop=do_loop,
         )
         guess = self._imu_window(self._replay_last_frame_t, stamp, rp.GUESS_CAP)
-        glue = self._imu_window(self.last_lidar_time, stamp, rp.GLUE_CAP)
+        glue = self._imu_window(self.last_lidar_time, stamp, rp.GLUE_CAP,
+                                lidar_frame=True)
         self.last_lidar_time = stamp
         self.lidar_counter += 1
         do_depth = cfg.use_lidar_depth and (
@@ -518,7 +554,8 @@ class LviSystem:
         # fused into ONE glue program + ONE packed readback (`_scan_glue`);
         # the previous per-field np.asarray bookkeeping paid ~8 transfer
         # RPCs x ~25 ms per scan on the tunnel
-        dts, accs, gyrs, n = self._imu_window(self.last_lidar_time, stamp, 64)
+        dts, accs, gyrs, n = self._imu_window(self.last_lidar_time, stamp, 64,
+                                              lidar_frame=True)
         gbuf = np.zeros(1 + 64 * 7, np.float32)
         gbuf[0] = n
         gi = gbuf[1:].reshape(64, 7)
@@ -816,7 +853,10 @@ class LviSystem:
                 return None
             o = self.lio_odoms[i]
             reset_ids.add(o[6])
-            dts, accs, gyrs, n = self._imu_window(o[0], tf, 32)
+            # lidar-frame IMU: lio_odoms states live in the converted frame
+            # (the reference's odometry/imu after imuConverter)
+            dts, accs, gyrs, n = self._imu_window(o[0], tf, 32,
+                                                  lidar_frame=True)
             # host-side dead-reckoning: W+1 tiny windows per pre-init frame
             # would otherwise be a per-frame device-RPC storm on the tunnel
             p, q, v = o[1], o[2], o[3]

@@ -51,10 +51,20 @@ def main():
 
     syscfg = load_yaml(args.lidar_yaml, args.camera_yaml)
     lid = syscfg.lidar
+    from lvislam_tpu.models.lio import imu_fusion as fus
     cfg = LviConfig(
         lio=LioConfig(n_scan=lid.N_SCAN, horizon=lid.Horizon_SCAN,
                       point_capacity=1 << int(np.ceil(np.log2(
-                          max(lid.N_SCAN * lid.Horizon_SCAN, 1024))))),
+                          max(lid.N_SCAN * lid.Horizon_SCAN, 1024)))),
+                      # IMU->lidar extrinsic (imuConverter, utility.h:315-349)
+                      ext_rot=tuple(lid.extrinsicRot),
+                      ext_rpy=tuple(lid.extrinsicRPY)),
+        fusion=fus.FusionParams(imuAccNoise=lid.imuAccNoise,
+                                imuGyrNoise=lid.imuGyrNoise,
+                                imuAccBiasN=lid.imuAccBiasN,
+                                imuGyrBiasN=lid.imuGyrBiasN,
+                                imuGravity=lid.imuGravity,
+                                extTrans=tuple(lid.extrinsicTrans)),
         camera=syscfg.vins.camera,
         image_height=syscfg.vins.camera.image_height,
         image_width=syscfg.vins.camera.image_width,
