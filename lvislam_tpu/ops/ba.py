@@ -62,6 +62,13 @@ class BAConfig:
     # whole depth Jacobian block is ONE jvp and the dense solve shrinks
     # from d_total to d_state dims.
     solver: str = "qr"
+    # early termination: stop iterating once an ACCEPTED step improves the
+    # cost by less than ftol*cost — Ceres' function_tolerance (default 1e-6),
+    # which the reference's solver budget relies on (`estimator.cpp:806`
+    # max_solver_time_in_seconds cuts iterations the same way). 0.0 disables
+    # (always run `iterations` steps). In steady state the window usually
+    # converges in 1-2 LM steps, so this is also the main BA latency lever.
+    ftol: float = 1e-6
 
     @property
     def d_state(self) -> int:
@@ -297,6 +304,24 @@ def full_residual(
     return jnp.concatenate([r_prior, r_imu, r_proj.reshape(-1)])
 
 
+def _lm_accept(ws, ws2, inv_depth, inv2, lam, cost, w_proj, eval_cost, cfg, i):
+    """Shared LM accept/reject tail for every solver branch: evaluate the
+    candidate, keep it iff cost decreases, scale the damping, and flag
+    convergence (Ceres function_tolerance: an ACCEPTED step improving the
+    cost by < ftol*cost stops the loop — `estimator.cpp:806` bounds the
+    solve the same way via max_solver_time_in_seconds)."""
+    new_cost, w_new = eval_cost(ws2, inv2)
+    accept = new_cost < cost
+    ws_out = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), ws, ws2)
+    inv_out = jnp.where(accept, inv2, inv_depth)
+    lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
+    cost_out = jnp.where(accept, new_cost, cost)
+    w_out = jnp.where(accept, w_new, w_proj)
+    done = accept & ((cost - new_cost) < cfg.ftol * cost) if cfg.ftol > 0.0 \
+        else jnp.asarray(False)
+    return (ws_out, inv_out, lam_out, cost_out, w_out, i + 1, done)
+
+
 class BAResult(NamedTuple):
     ws: WindowState
     inv_depth: jax.Array
@@ -340,7 +365,7 @@ def solve(
         )
         return jnp.sum(r * r), w
 
-    def it(carry, _):
+    def it(carry):
         """Adaptive Levenberg-Marquardt step (the Ceres DOGLEG-timeboxed
         equivalent): reject cost-increasing steps, scale the damping.
 
@@ -349,7 +374,7 @@ def solve(
         evaluation already computed (accepted candidate or unchanged
         state), so re-deriving them here would be a redundant full
         projection-residual sweep."""
-        ws, inv_depth, lam, cost, w_proj = carry
+        ws, inv_depth, lam, cost, w_proj, i, _ = carry
 
         def res(d):
             return full_residual(
@@ -406,16 +431,8 @@ def solve(
             inv2 = inv_depth + jnp.where(
                 lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :]
             )
-            new_cost, w_new = eval_cost(ws2, inv2)
-            accept = new_cost < cost
-            ws_out = jax.tree.map(
-                lambda a, b_: jnp.where(accept, b_, a), ws, ws2
-            )
-            inv_out = jnp.where(accept, inv2, inv_depth)
-            lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
-            cost_out = jnp.where(accept, new_cost, cost)
-            w_out = jnp.where(accept, w_new, w_proj)
-            return (ws_out, inv_out, lam_out, cost_out, w_out), cost_out
+            return _lm_accept(ws, ws2, inv_depth, inv2, lam, cost, w_proj,
+                              eval_cost, cfg, i)
 
         r, jvp_fn = jax.linearize(res, jnp.zeros(D, ws.Ps.dtype))
         J = jax.vmap(jvp_fn)(jnp.eye(D, dtype=ws.Ps.dtype)).T
@@ -442,21 +459,18 @@ def solve(
             )
         ws2 = _retract_window(ws, d[: cfg.d_state], cfg)
         inv2 = inv_depth + jnp.where(lidar_flag | (~feat_valid), 0.0, d[cfg.d_state :])
-        new_cost, w_new = eval_cost(ws2, inv2)
-        accept = new_cost < cost
-        ws_out = jax.tree.map(
-            lambda a, b_: jnp.where(accept, b_, a), ws, ws2
-        )
-        inv_out = jnp.where(accept, inv2, inv_depth)
-        lam_out = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-7), lam * 10.0)
-        cost_out = jnp.where(accept, new_cost, cost)
-        w_out = jnp.where(accept, w_new, w_proj)
-        return (ws_out, inv_out, lam_out, cost_out, w_out), cost_out
+        return _lm_accept(ws, ws2, inv_depth, inv2, lam, cost, w_proj,
+                          eval_cost, cfg, i)
 
     cost0, w0 = eval_cost(ws, inv_depth)
-    (ws, inv_depth, _, final_cost, _), _ = jax.lax.scan(
-        it, (ws, inv_depth, jnp.asarray(1e-4, ws.Ps.dtype), cost0, w0), None,
-        length=cfg.iterations,
+    init = (ws, inv_depth, jnp.asarray(1e-4, ws.Ps.dtype), cost0, w0,
+            jnp.int32(0), jnp.asarray(False))
+
+    def cond(carry):
+        return (carry[5] < cfg.iterations) & ~carry[6]
+
+    (ws, inv_depth, _, final_cost, _, _, _) = jax.lax.while_loop(
+        cond, it, init,
     )
     return BAResult(ws=ws, inv_depth=inv_depth, final_cost=final_cost)
 
