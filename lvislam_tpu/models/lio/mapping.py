@@ -852,12 +852,20 @@ def _loop_icp(state: LioMapState, cur, cand, caps: LioCaps, params: LioParams):
         offs = jnp.arange(n_sub) - params.historyKeyframeSearchNum
         sub_idx = jnp.clip(cand + offs, 0, K - 1)
         sub_ok = (sub_idx >= 0) & (sub_idx < state.kf_count)
-        sub_pts = state.kf_surf[sub_idx]  # (n_sub, S, 3)
-        sub_val = state.kf_surf_valid[sub_idx] & sub_ok[:, None]
         t = state.kf_trans[sub_idx]
         q = state.kf_quat[sub_idx]
-        tgt = (lie.quat_rotate(q[:, None, :], sub_pts) + t[:, None, :]).reshape(-1, 3)
-        tgtv = sub_val.reshape(-1)
+        # target submap stacks CORNER + surf clouds (`loopFindNearKeyframes`,
+        # `mapOptimization.cpp:694-702`): in corridor-like geometry the edge
+        # features are what lock translation along the corridor axis — a
+        # surf-only target lets point-to-point ICP slide along it
+        sub_s = state.kf_surf[sub_idx]  # (n_sub, S, 3)
+        sub_sv = state.kf_surf_valid[sub_idx] & sub_ok[:, None]
+        sub_c = state.kf_corner[sub_idx]  # (n_sub, C, 3)
+        sub_cv = state.kf_corner_valid[sub_idx] & sub_ok[:, None]
+        tgt_s = lie.quat_rotate(q[:, None, :], sub_s) + t[:, None, :]
+        tgt_c = lie.quat_rotate(q[:, None, :], sub_c) + t[:, None, :]
+        tgt = jnp.concatenate([tgt_c.reshape(-1, 3), tgt_s.reshape(-1, 3)])
+        tgtv = jnp.concatenate([sub_cv.reshape(-1), sub_sv.reshape(-1)])
         # center=cand pose: on capacity overflow keep the voxels nearest the
         # candidate — a key-ordered drop keeps a spatially biased slab and
         # ICP then sees a target with no overlap (fitness ~5 m on honest

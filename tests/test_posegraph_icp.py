@@ -109,6 +109,81 @@ def test_prior_only_graph():
     np.testing.assert_allclose(np.asarray(g2.trans[0]), [1.0, 2.0, 3.0], atol=1e-2)
 
 
+def _corridor_state(mapping, caps, with_corner_target=True):
+    """Two keyframes revisiting the same spot in a corridor along x: walls
+    (surf, y=±2) constrain nothing along x when sampled independently;
+    corner posts at distinct x lock the axis. The current keyframe's
+    ESTIMATED pose carries a +0.6 m along-corridor error."""
+    rng_t = np.random.default_rng(1)
+    rng_s = np.random.default_rng(2)
+
+    def walls(rng, n):
+        x = rng.uniform(-8, 8, n)
+        y = np.where(rng.uniform(size=n) < 0.5, -2.0, 2.0)
+        z = rng.uniform(0, 2.5, n)
+        return np.stack([x, y, z], -1).astype(np.float32)
+
+    def posts(rng, per=12):
+        pts = []
+        for px in (-6.0, -3.0, 0.0, 3.0, 6.0):
+            for py in (-1.5, 1.5):
+                z = rng.uniform(0, 2.5, per)
+                pts.append(np.stack([np.full(per, px), np.full(per, py), z], -1))
+        return np.concatenate(pts).astype(np.float32)
+
+    state = mapping.lio_init(caps)
+    S, C = caps.kf_surf, caps.kf_corner
+    surf_t, surf_s = walls(rng_t, S), walls(rng_s, S)
+    corn_t, corn_s = posts(rng_t), posts(rng_s)
+    nc = corn_t.shape[0]
+    kf_surf = state.kf_surf.at[0].set(surf_t).at[4].set(surf_s)
+    kf_sv = state.kf_surf_valid.at[0].set(True).at[4].set(True)
+    kf_corn = state.kf_corner.at[0, :nc].set(corn_t).at[4, :nc].set(corn_s)
+    kf_cv = state.kf_corner_valid.at[4, :nc].set(True)
+    if with_corner_target:
+        kf_cv = kf_cv.at[0, :nc].set(True)
+    kf_trans = state.kf_trans.at[4].set(jnp.array([0.6, 0.0, 0.0]))
+    return state._replace(
+        kf_surf=kf_surf, kf_surf_valid=kf_sv,
+        kf_corner=kf_corn, kf_corner_valid=kf_cv,
+        kf_trans=kf_trans, kf_count=jnp.int32(5),
+    )
+
+
+def test_loop_icp_corner_target_locks_corridor_axis():
+    """`loopFindNearKeyframes` stacks corner + surf (`mapOptimization.cpp:
+    694-702`); a surf-only target lets point-to-point ICP slide along a
+    corridor. With corners the 0.6 m along-axis pose error is recovered."""
+    from lvislam_tpu.models.lio import mapping
+
+    caps = mapping.LioCaps(
+        max_keyframes=8, kf_corner=128, kf_surf=512, sel_keyframes=4,
+        map_corner=512, map_surf=2048, scan_corner=128, scan_surf=512,
+        max_loops=2, max_gps=2, loop_submap=2048, icp_iters=25,
+        corner_hash_size=1 << 8, surf_hash_size=1 << 10, hash_bucket=8,
+        surf_hash_bucket=8,
+    )
+    params = mapping.LioParams(historyKeyframeSearchNum=1)
+
+    st = _corridor_state(mapping, caps, with_corner_target=True)
+    st2, res = mapping._loop_icp(st, jnp.int32(4), jnp.int32(0), caps, params)
+    assert bool(res.found), float(res.fitness)
+    f = caps.max_keyframes  # first loop slot
+    ti = np.asarray(st2.graph.bf_trans[f])
+    # corrected relative pose cur->cand should be ~identity (revisit)
+    assert np.linalg.norm(ti) < 0.15, ti
+
+    # regression: surf-only target (the pre-fix behavior) slides along x —
+    # ICP either keeps most of the 0.6 m error or rejects the loop
+    st_s = _corridor_state(mapping, caps, with_corner_target=False)
+    st2_s, res_s = mapping._loop_icp(
+        st_s, jnp.int32(4), jnp.int32(0), caps, params
+    )
+    if bool(res_s.found):
+        ti_s = np.asarray(st2_s.graph.bf_trans[f])
+        assert abs(ti_s[0]) > 0.3, ti_s
+
+
 def test_icp_recovers_transform(rng):
     pts = rng.uniform(-5, 5, size=(800, 3)).astype(np.float32)
     R_true = Rsc.from_euler("xyz", [4, -6, 12], degrees=True)
