@@ -335,6 +335,10 @@ def _lvi_section(out):
 
     sys_ = make_system()
     sys_.cfg.replay_batch = 16
+    # the reference's own real-time lever: scan-to-map throttled to
+    # >=0.15 s between solves (`mapOptimization.cpp:312`, the shipped
+    # params_lidar.yaml value) — at 10 Hz lidar the LIS maps at 5 Hz
+    sys_.cfg.mapping_process_interval = 0.15
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0

@@ -40,7 +40,7 @@ class LoopCaps:
     window_points: int = 150  # tracked-feature keypoints per keyframe
     extra_points: int = 256  # FAST/Shi-Tomasi keypoints per keyframe
     vocab_words: int = 1024
-    recent_exclude: int = 50  # frames excluded from query (reference: 200 @ image rate)
+    recent_exclude: int = 200  # frames excluded from query (`loop_detector.cpp:67`)
     min_loop_matches: int = 25  # MIN_LOOP_NUM (`keyframe.h:16`)
 
 
@@ -59,10 +59,19 @@ class LoopDB(NamedTuple):
     count: jax.Array  # () total inserts ever (not clamped to N)
     seq: jax.Array  # (N,) int32 insert number held by each slot, -1 if empty
     vocab: jax.Array  # (V, 256)
+    idf: jax.Array  # (V,) tf-idf word weights (ones for untrained vocab)
 
 
-def db_init(caps: LoopCaps, dtype=jnp.float32) -> LoopDB:
+def db_init(caps: LoopCaps, dtype=jnp.float32, vocab=None, idf=None) -> LoopDB:
+    """`vocab`/`idf` from `brief.train_vocabulary`/`load_vocabulary` — the
+    reference loads its trained binary vocabulary the same way
+    (`pose_graph_node.cpp:297-314`); defaults fall back to the seeded
+    random vocabulary with uniform weights."""
     N, E, V = caps.max_keyframes, caps.extra_points, caps.vocab_words
+    if vocab is None:
+        vocab = brief.make_vocabulary(V)
+    if idf is None:
+        idf = jnp.ones(V, dtype)
     return LoopDB(
         bags=jnp.zeros((N, V), dtype),
         kp_desc=jnp.zeros((N, E, brief.N_BITS), dtype),
@@ -71,7 +80,8 @@ def db_init(caps: LoopCaps, dtype=jnp.float32) -> LoopDB:
         stamps=jnp.zeros(N, dtype),
         count=jnp.int32(0),
         seq=jnp.full(N, -1, jnp.int32),
-        vocab=brief.make_vocabulary(V),
+        vocab=jnp.asarray(vocab, dtype),
+        idf=jnp.asarray(idf, dtype),
     )
 
 
@@ -116,7 +126,7 @@ def add_and_detect(
     win_desc = brief.describe(image, win_uv, win_valid)
     all_desc = jnp.concatenate([win_desc, kp_desc], axis=0)
     all_valid = jnp.concatenate([win_valid, kp_ok], axis=0)
-    bag = brief.bow_vector(all_desc, all_valid, db.vocab)
+    bag = brief.bow_vector(all_desc, all_valid, db.vocab, idf=db.idf)
 
     # ---- query (excluding recent frames; ring-aware via per-slot seq) ----
     n = db.count

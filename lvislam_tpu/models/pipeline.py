@@ -114,6 +114,17 @@ class LviConfig:
     depth_cloud_slots: int = 12
     depth_cloud_points: int = 4096
     use_loop_detector: bool = True
+    # path to a trained BoW vocabulary (`brief.save_vocabulary` file, see
+    # scripts/train_vocab.py); None = seeded random vocabulary
+    vocab_path: str | None = None
+    # Mapping-rate throttle (`mapOptimization.cpp:312`, params_lidar.yaml
+    # `mappingProcessInterval: 0.15`): scans arriving closer than this to
+    # the last PROCESSED scan are dropped before the LIS — the reference's
+    # own real-time lever (at 10 Hz lidar it maps at 5 Hz). 0 = process
+    # every scan (the test default). Deviation from the reference: skipped
+    # scans contribute no depth cloud here (the reference's imageProjection
+    # still publishes them), so `lidar_skip` counts PROCESSED scans.
+    mapping_process_interval: float = 0.0
     # camera-IMU extrinsic
     tic: tuple = (0.0, 0.0, 0.0)
     qic: tuple = (1.0, 0.0, 0.0, 0.0)  # wxyz
@@ -162,7 +173,12 @@ class LviSystem:
             tic=jnp.array(cfg.tic, jnp.float32),
             qic=jnp.array(cfg.qic, jnp.float32),
         ))
-        self.loop_db = ld.db_init(cfg.loop_caps)
+        vocab = idf = None
+        if cfg.vocab_path:  # trained BoW vocabulary (pose_graph_node.cpp:297-314)
+            from ..ops import brief as _brief
+
+            vocab, idf = _brief.load_vocabulary(cfg.vocab_path)
+        self.loop_db = ld.db_init(cfg.loop_caps, vocab=vocab, idf=idf)
         self._dbg_kf_imgs: dict = {}  # debug_dir: slot -> u8 image
 
         # multi-chip pipelined placement (see LviConfig.pipeline_devices)
@@ -199,6 +215,7 @@ class LviSystem:
             self.imu_acc_l: list[np.ndarray] = []
         self.last_image_time = -1.0
         self.last_lidar_time = -1.0
+        self._last_map_time = -1e18  # mappingProcessInterval throttle
         self.lidar_counter = 0
         # depth cloud ring (VINS world frame) — DEVICE-resident: consumed
         # only by the fused frame step, so shipping it per frame would be
@@ -507,6 +524,10 @@ class LviSystem:
 
     # ---------------------------------------------------------------- LIDAR
     def _on_lidar(self, stamp, scan):
+        # mapping-rate throttle (`mapOptimization.cpp:312`)
+        if stamp - self._last_map_time < self.cfg.mapping_process_interval:
+            return
+        self._last_map_time = stamp
         if self._maybe_activate_replay():
             self._stage_scan(stamp, scan)
             return

@@ -90,13 +90,86 @@ def _pnp_gn(obs, valid, pts, q0, t0, iters: int = 10):
     return q, x[3:6]
 
 
-@partial(jax.jit, static_argnames=("window", "rounds"))
+def _sfm_ba(Qs, Ts, X, pt_valid, obs, obs_valid, l, W, iters: int = 8):
+    """Joint bundle adjustment over all camera {q, t} AND points — the
+    reference's final full BA (`initial_sfm.cpp:233-315`, DENSE_SCHUR with
+    frame-l rotation and the l/newest translations held constant as the
+    scale/gauge anchor). Damped LM with accept/reject; world->cam
+    convention (x_c = R x_w + t) as everywhere in this module."""
+    F = X.shape[0]
+    W1 = W + 1
+    obs_ok = obs_valid & pt_valid[:, None]
+    dt_f = Qs.dtype
+    rot_free = (jnp.arange(W1) != l)[:, None].astype(dt_f)
+    tr_free = ((jnp.arange(W1) != l) & (jnp.arange(W1) != W))[:, None].astype(dt_f)
+    D = W1 * 6 + F * 3
+
+    def residual(d):
+        dq = d[: W1 * 3].reshape(W1, 3) * rot_free
+        dtr = d[W1 * 3 : W1 * 6].reshape(W1, 3) * tr_free
+        dX = d[W1 * 6 :].reshape(F, 3) * pt_valid[:, None]
+        q = jax.vmap(
+            lambda qk, xk: lie.quat_multiply(qk, lie.so3_exp_quat(xk))
+        )(Qs, dq)
+        t = Ts + dtr
+        Xn = X + dX
+        Pc = lie.quat_rotate(q[None, :, :], Xn[:, None, :]) + t[None]
+        # clamp-only depth handling: a point pushed to/behind the image
+        # plane projects with a huge residual instead of being masked out
+        # (a state-dependent mask would let LM "win" by hiding points)
+        proj = Pc[..., :2] / jnp.maximum(Pc[..., 2:3], 1e-2)
+        return jnp.where(obs_ok[..., None], proj - obs, 0.0).reshape(-1)
+
+    def cost(d):
+        r = residual(d)
+        return jnp.sum(r * r)
+
+    def it(carry, _):
+        d0, lam, c0 = carry
+        r, jvp = jax.linearize(residual, d0)
+        J = jax.vmap(jvp)(jnp.eye(D, dtype=dt_f)).T
+        diag = jnp.sum(J * J, axis=0)
+        g = J.T @ (-r)
+        H = J.T @ J + lam * jnp.diag(diag + 1e-8)
+        step = jnp.linalg.solve(H, g)
+        d1 = d0 + step
+        c1 = cost(d1)
+        # gain-ratio acceptance (Ceres' trust-region rho): the predicted
+        # reduction of the damped quadratic model. Low-parallax points have
+        # near-null ray directions — a plain c1<c0 test lets LM ride them
+        # with enormous steps for noise-level gains (overfits structure).
+        pred = jnp.dot(step, lam * (diag + 1e-8) * step + g)
+        rho = (c0 - c1) / jnp.maximum(pred, 1e-12)
+        acc = (c1 < c0) & (rho > 1e-2)
+        return (
+            jnp.where(acc, d1, d0),
+            jnp.where(acc, jnp.maximum(lam / 3.0, 1e-5), lam * 10.0),
+            jnp.where(acc, c1, c0),
+        ), None
+
+    d0 = jnp.zeros(D, dt_f)
+    (d, _, c_fin), _ = jax.lax.scan(
+        it, (d0, jnp.asarray(1e-3, dt_f), cost(d0)), None, length=iters
+    )
+    dq = d[: W1 * 3].reshape(W1, 3) * rot_free
+    dtr = d[W1 * 3 : W1 * 6].reshape(W1, 3) * tr_free
+    dX = d[W1 * 6 :].reshape(F, 3) * pt_valid[:, None]
+    Qs2 = jax.vmap(
+        lambda qk, xk: lie.quat_normalize(
+            lie.quat_multiply(qk, lie.so3_exp_quat(xk)))
+    )(Qs, dq)
+    return Qs2, Ts + dtr, X + dX, c_fin
+
+
+@partial(jax.jit, static_argnames=("window", "rounds", "ba_iters"))
 def global_sfm(
     table: fm.FeatureTable,
     window: int,
     rounds: int = 4,
+    ba_iters: int = 8,
 ) -> SfmResult:
-    """Alternating resection/intersection SfM in the frame-l camera world
+    """Alternating resection/intersection SfM in the frame-l camera world,
+    finished by a joint window BA over all {q, t} + points
     (`GlobalSFM::construct`, `initial_sfm.cpp:117-315`)."""
     W = window
     F = table.obs.shape[0]
@@ -163,6 +236,18 @@ def global_sfm(
     (Qs, Ts, X, pt_valid), _ = jax.lax.scan(
         one_round, (Qs, Ts, X, pt_valid), None, length=rounds
     )
+    # final joint BA over all {q, t} + points (`initial_sfm.cpp:233-315`)
+    if ba_iters > 0:
+        Qs, Ts, X, _ = _sfm_ba(
+            Qs, Ts, X, pt_valid, table.obs,
+            table.obs_valid & feat_ok[:, None], l, W, iters=ba_iters,
+        )
+        # re-check cheirality in the anchor frame after the BA moved structure
+        Rl = lie.quat_to_matrix(Qs[l])
+        Xl = jnp.einsum("ij,fj->fi", Rl, X) + Ts[l][None]
+        pt_valid = pt_valid & (Xl[:, 2] > 0.1) & jnp.all(
+            jnp.isfinite(X), axis=1)
+        X = jnp.where(pt_valid[:, None], X, 0.0)
     ok = sfm_ok & rel.ok & (jnp.sum(pt_valid) > 20)
     return SfmResult(Qs=Qs, Ts=Ts, points=X, point_valid=pt_valid, ok=ok,
                      ref_frame=l)

@@ -1,11 +1,13 @@
-"""Per-stage device timing of the LIO hot path at bench shapes.
+"""Per-stage device timing of the WARM LIO step at the bench operating
+point (MID360 4x6000, pallas kNN, gather-once + nnRefreshEvery=2,
+mapRebuildEvery=8): where does the ~8.4 ms device-resident floor go?
 
-Each stage is timed amortized: the op is chained K times inside one jitted
-`lax.scan` program (a tiny data dependence defeats DCE/overlap illusions),
-dispatched once, then hard-synced via host readback — the only honest sync
-on the axon attachment (NOTES.md: `block_until_ready` is a no-op there).
+Times, on a state warmed by a 12-scan replay:
+  - the full fused step (non-keyframe and forced-keyframe stamps)
+  - each stage in isolation: unpack, project, features, downsample,
+    scan-to-map GN, keyframe insert + incremental/full map update
 
-Usage: nohup python scripts/profile_stages.py > /tmp/profile.out 2>&1 &
+Usage: nohup python scripts/profile_stages3.py > /tmp/profile3.out 2>&1 &
 """
 
 from __future__ import annotations
@@ -26,209 +28,218 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from lvislam_tpu.models.lio import mapping, frontend
+    from bench import _gen_scans, _make_cfg
+    from lvislam_tpu.models.lio import frontend, mapping
     from lvislam_tpu.models.lio.pipeline import (
-        LioConfig, LioPipeline, lio_full_step, POS_SCALE, TIME_SCALE,
-    )
-    from lvislam_tpu.ops import voxel_hash as vh, scan2map, pointcloud as pc
+        LioPipeline, pack_scan, lio_full_step)
+    from lvislam_tpu.ops import pointcloud as pc, scan2map
     from lvislam_tpu.utils import synthetic as syn
 
-    K_REPS = 64
+    on_tpu = jax.default_backend() != "cpu"
+    cfg = _make_cfg(mapping, pallas=on_tpu)
+    cfg.upload_batch = 1
+
     rate = 10.0
-    n_scan, horizon = 4, 6000
-    P_CAP = 24576
-
-    caps = mapping.LioCaps(
-        max_keyframes=256, kf_corner=512, kf_surf=2048, sel_keyframes=32,
-        map_corner=16384, map_surf=65536, scan_corner=512, scan_surf=2048,
-        max_loops=16, max_gps=16, loop_submap=8192, icp_iters=20,
-    )
-    params = mapping.LioParams(nnRefreshEvery=2)
-
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=40.0)
-    scan = syn.simulate_lidar_scan(world, traj, 1.0, n_scan=n_scan,
-                                   horizon=horizon, sweep_time=1.0 / rate)
+    scans = _gen_scans(13, rate, world, traj)
 
-    n = min(len(scan["xyz"]), P_CAP)
-    xyz = np.zeros((P_CAP, 3), np.float32); xyz[:n] = scan["xyz"][:n]
-    inten = np.zeros(P_CAP, np.float32); inten[:n] = scan["intensity"][:n]
-    ring = np.zeros(P_CAP, np.int32); ring[:n] = scan["ring"][:n]
-    rel_t = np.zeros(P_CAP, np.float32); rel_t[:n] = scan["time"][:n]
-    pvalid = np.zeros(P_CAP, bool); pvalid[:n] = True
+    pipe = LioPipeline(cfg)
+    for s in scans[:12]:
+        pipe.process_scan(s[0], s[1], s[2], s[3])
+    np.asarray(pipe.state.x6)
+    state = pipe.state
+    print(f"warm state: kf_count={int(state.kf_count)}", flush=True)
 
-    it = np.arange(0.0, 1.0 / rate + 0.01, 1.0 / 200.0).astype(np.float32)
-    M = 64
-    imu_t = np.zeros(M, np.float32); imu_t[: len(it)] = it
-    gyro = np.zeros((M, 3), np.float32)
-    gyro[: len(it)] = traj.imu(it + 1.0)[0]
-    imu_count = np.int32(len(it))
-
-    d = {k: jnp.asarray(v) for k, v in dict(
-        xyz=xyz, inten=inten, ring=ring, rel_t=rel_t, pvalid=pvalid,
-        imu_t=imu_t, gyro=gyro,
-    ).items()}
-    rpy0 = jnp.zeros(3)
+    s = scans[12]
+    buf = pack_scan(cfg, s[0], s[1], s[2], s[3])
+    packed = jnp.asarray(buf)
+    step_kw = dict(
+        n_scan=cfg.n_scan, horizon=cfg.horizon, min_range=cfg.min_range,
+        max_range=cfg.max_range, edge_threshold=cfg.edge_threshold,
+        surf_threshold=cfg.surf_threshold, surf_leaf=cfg.odometry_surf_leaf,
+        caps=cfg.caps, params=cfg.params,
+        point_capacity=cfg.point_capacity, imu_capacity=cfg.imu_capacity,
+        exact_selection=cfg.exact_loam_selection,
+    )
 
     results = {}
 
-    def timeit(name, fn, *args):
-        """fn(*args) -> output tree; chained K_REPS times in one program."""
-        f = jax.jit(fn)
-        out = f(*args)  # compile
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    def timeit(name, body_fn, reps=32):
+        """body_fn(c) -> scalar; chained `reps` times in one program."""
+        def prog():
+            def body(c, _):
+                return body_fn(c), None
+            return jax.lax.scan(body, jnp.float32(0), None, length=reps)[0]
+        f = jax.jit(prog)
+        out = f(); np.asarray(out).ravel()[:1]
         best = np.inf
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            out = f(*args)
-            np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            out = f(); np.asarray(out).ravel()[:1]
             best = min(best, time.perf_counter() - t0)
-        per = best / K_REPS * 1e3
+        per = best / reps * 1e3
         results[name] = round(per, 3)
-        print(f"{name:36s} {per:8.3f} ms/iter", flush=True)
-        return out
+        print(f"{name:44s} {per:8.3f} ms", flush=True)
 
-    # ---- stage 1: project_scan ----
-    def proj_k(xyz, inten, ring, rel_t, pvalid, imu_t, gyro):
-        def body(c, _):
-            p = frontend.project_scan(
-                xyz + c * 1e-9, inten, ring, rel_t, pvalid,
-                imu_t, gyro, imu_count, rpy0, jnp.array(True),
-                n_scan=n_scan, horizon=horizon)
-            return p.xyz[0, 0], p
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    # ---- full fused step, non-keyframe stamp (same pose/time bucket) ----
+    def f_full(c):
+        st, out = lio_full_step(
+            state, (packed + (c * 0).astype(jnp.int16)), **step_kw)
+        return out.x6[0]
 
-    proj_all = timeit("project_scan", proj_k, d["xyz"], d["inten"], d["ring"],
-                      d["rel_t"], d["pvalid"], d["imu_t"], d["gyro"])
-    proj = jax.tree.map(lambda x: x[0], proj_all)
+    timeit("lio_full_step FULL (non-kf)", f_full, reps=16)
 
-    # ---- stage 2: extract_features ----
-    def feat_k(proj):
-        def body(c, _):
-            p = proj._replace(xyz=proj.xyz + c * 1e-9)
-            f = frontend.extract_features(
-                p, surf_leaf=0.4, max_corner=caps.scan_corner,
-                max_surf=caps.scan_surf)
-            return f.corner_xyz[0, 0], f
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    # ---- forced-keyframe stamp: stamp += 2.0 exceeds the livox 1.0 s gate
+    buf_kf = buf.copy()
+    misc = buf_kf[cfg.point_capacity * 6 + cfg.imu_capacity * 8:].view(np.float32)
+    misc[5] = misc[5] + 2.0
+    packed_kf = jnp.asarray(buf_kf)
+    st_incr = state._replace(kf_since_rebuild=jnp.int32(0))
+    st_full = state._replace(
+        kf_since_rebuild=jnp.int32(cfg.params.mapRebuildEvery - 1))
 
-    feats_all = timeit("extract_features", feat_k, proj)
-    feats = jax.tree.map(lambda x: x[0], feats_all)
+    def f_full_kf_incr(c):
+        st, out = lio_full_step(
+            st_incr, (packed_kf + (c * 0).astype(jnp.int16)), **step_kw)
+        return out.x6[0]
 
-    # ---- build a realistic populated map state ----
-    rng = np.random.default_rng(0)
-    mc = jnp.asarray(rng.uniform(-20, 20, (caps.map_corner, 3)), jnp.float32)
-    ms = jnp.asarray(rng.uniform(-20, 20, (caps.map_surf, 3)), jnp.float32)
-    mcv = jnp.ones(caps.map_corner, bool)
-    msv = jnp.ones(caps.map_surf, bool)
-    ch = vh.build(mc, mcv, 1.0, caps.corner_hash_size, caps.hash_bucket)
-    sh = vh.build(ms, msv, 1.0, caps.surf_hash_size, caps.surf_hash_bucket)
+    timeit("lio_full_step FULL (kf, incremental)", f_full_kf_incr, reps=16)
 
-    # ---- stage 3: voxel-hash query (surf-sized) ----
-    q = jnp.asarray(rng.uniform(-20, 20, (caps.scan_surf, 3)), jnp.float32)
+    def f_full_kf_rebuild(c):
+        st, out = lio_full_step(
+            st_full, (packed_kf + (c * 0).astype(jnp.int16)), **step_kw)
+        return out.x6[0]
 
-    def query_k(q):
-        def body(c, _):
-            idx, dist = vh.query(sh, q + c * 1e-9, 5)
-            return dist[0, 0], (idx, dist)
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    timeit("lio_full_step FULL (kf, full rebuild)", f_full_kf_rebuild, reps=16)
 
-    timeit("vh.query surf (2048q,B16)", query_k, q)
+    # ---- stages in isolation ----
+    P, M = cfg.point_capacity, cfg.imu_capacity
+    xyz = np.zeros((P, 3), np.float32)
+    inten = np.zeros(P, np.float32)
+    ring = np.zeros(P, np.int32)
+    rel_t = np.zeros(P, np.float32)
+    pvalid = np.zeros(P, bool)
+    n = min(len(s[0]["xyz"]), P)
+    xyz[:n] = s[0]["xyz"][:n]; inten[:n] = s[0]["intensity"][:n]
+    ring[:n] = s[0]["ring"][:n]; rel_t[:n] = s[0]["time"][:n]
+    pvalid[:n] = True
+    imu_t = np.zeros(M, np.float32); gyro = np.zeros((M, 3), np.float32)
+    icount = min(len(s[1]), M)
+    imu_t[:icount] = s[1][:icount]; gyro[:icount] = s[2][:icount]
+    d = {k: jnp.asarray(v) for k, v in dict(
+        xyz=xyz, inten=inten, ring=ring, rel_t=rel_t, pvalid=pvalid,
+        imu_t=imu_t, gyro=gyro).items()}
+    imu_count = jnp.int32(icount)
+    rpy0 = jnp.asarray(s[3])
 
-    qc = jnp.asarray(rng.uniform(-20, 20, (caps.scan_corner, 3)), jnp.float32)
+    def f_unpack(c):
+        pk = packed + (c * 0).astype(jnp.int16)
+        pts = pk[: P * 6].reshape(6, P)  # planar rows (matches pack_scan)
+        x = pts[0:3].astype(jnp.float32).T * 0.003
+        return x[0, 0]
 
-    def query_ck(qc):
-        def body(c, _):
-            idx, dist = vh.query(ch, qc + c * 1e-9, 5)
-            return dist[0, 0], (idx, dist)
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    timeit("unpack (int16 -> f32)", f_unpack)
 
-    timeit("vh.query corner (512q,B32)", query_ck, qc)
+    def f_proj(c):
+        p = frontend.project_scan(
+            d["xyz"] + c * 1e-9, d["inten"], d["ring"], d["rel_t"],
+            d["pvalid"], d["imu_t"], d["gyro"], imu_count, rpy0,
+            jnp.array(True), n_scan=cfg.n_scan, horizon=cfg.horizon,
+            min_range=cfg.min_range, max_range=cfg.max_range)
+        return p.xyz[0, 0]
 
-    # ---- stage 4: full scan-to-map GN ----
-    x0 = jnp.zeros(6)
+    timeit("project_scan", f_proj)
 
-    def s2m_k(x0):
-        def body(c, _):
-            st = scan2map.scan_to_map_hashed(
-                x0 + c * 1e-9, feats.corner_xyz, feats.corner_valid,
-                feats.surf_xyz, feats.surf_valid, mc, ms, ch, sh,
-                max_iters=20, nn_refresh_every=params.nnRefreshEvery)
-            return st.x6[0], st
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    proj = frontend.project_scan(
+        d["xyz"], d["inten"], d["ring"], d["rel_t"], d["pvalid"],
+        d["imu_t"], d["gyro"], imu_count, rpy0, jnp.array(True),
+        n_scan=cfg.n_scan, horizon=cfg.horizon,
+        min_range=cfg.min_range, max_range=cfg.max_range)
 
-    timeit("scan_to_map_hashed (<=20it)", s2m_k, x0)
+    def f_feat(c):
+        f = frontend.extract_features(
+            proj._replace(xyz=proj.xyz + c * 1e-9),
+            edge_threshold=cfg.edge_threshold,
+            surf_threshold=cfg.surf_threshold,
+            surf_leaf=cfg.odometry_surf_leaf,
+            max_corner=cfg.caps.scan_corner, max_surf=cfg.caps.scan_surf)
+        return f.corner_xyz[0, 0]
 
-    # ---- stage 5: hash build (keyframe rebuild cost) ----
-    def build_k(ms):
-        def body(c, _):
-            h = vh.build(ms + c * 1e-9, msv, 1.0, caps.surf_hash_size,
-                         caps.surf_hash_bucket)
-            return h.rel[0, 0, 0].astype(jnp.float32), h
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    timeit("extract_features (incl surf-leaf ds)", f_feat)
 
-    timeit("vh.build surf (65536)", build_k, ms)
+    feats = frontend.extract_features(
+        proj, edge_threshold=cfg.edge_threshold,
+        surf_threshold=cfg.surf_threshold, surf_leaf=cfg.odometry_surf_leaf,
+        max_corner=cfg.caps.scan_corner, max_surf=cfg.caps.scan_surf)
 
-    def build_ck(mc):
-        def body(c, _):
-            h = vh.build(mc + c * 1e-9, mcv, 1.0, caps.corner_hash_size,
-                         caps.hash_bucket)
-            return h.rel[0, 0, 0].astype(jnp.float32), h
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    def f_ds(c):
+        cx, cv, _ = pc.voxel_downsample(
+            feats.corner_xyz + c * 1e-9, feats.corner_valid,
+            cfg.params.mappingCornerLeafSize, cfg.caps.scan_corner)
+        sx, sv, _ = pc.voxel_downsample(
+            feats.surf_xyz + c * 1e-9, feats.surf_valid,
+            cfg.params.mappingSurfLeafSize, cfg.caps.scan_surf)
+        return cx[0, 0] + sx[0, 0]
 
-    timeit("vh.build corner (16384)", build_ck, mc)
+    timeit("voxel_downsample scan c+s", f_ds)
 
-    # ---- stage 6: voxel_downsample at scan size ----
-    def ds_k(xyz):
-        def body(c, _):
-            o, v, _ = pc.voxel_downsample(xyz + c * 1e-9, d["pvalid"], 0.4,
-                                          caps.scan_surf)
-            return o[0, 0], (o, v)
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    c_xyz, c_val, _ = pc.voxel_downsample(
+        feats.corner_xyz, feats.corner_valid,
+        cfg.params.mappingCornerLeafSize, cfg.caps.scan_corner)
+    s_xyz, s_val, _ = pc.voxel_downsample(
+        feats.surf_xyz, feats.surf_valid,
+        cfg.params.mappingSurfLeafSize, cfg.caps.scan_surf)
 
-    timeit("voxel_downsample (24576->2048)", ds_k, d["xyz"])
+    def f_s2m(c):
+        st = scan2map.scan_to_map_hashed(
+            state.x6 + c * 1e-9, c_xyz, c_val, s_xyz, s_val,
+            state.map_corner, state.map_surf,
+            state.corner_hash, state.surf_hash,
+            max_iters=20,
+            eigen_thresh=cfg.params.degeneracyEigenThreshold,
+            nn_refresh_every=cfg.params.nnRefreshEvery,
+            use_pallas=cfg.caps.pallas_knn,
+            gather_once=cfg.params.gatherOncePerScan and cfg.caps.pallas_knn)
+        return st.x6[0]
 
-    # ---- stage 7: local map assembly ----
-    state = mapping.lio_init(caps)
-    kf_c = jnp.asarray(rng.uniform(-20, 20, (caps.max_keyframes, caps.kf_corner, 3)), jnp.float32)
-    kf_s = jnp.asarray(rng.uniform(-20, 20, (caps.max_keyframes, caps.kf_surf, 3)), jnp.float32)
-    state = state._replace(
-        kf_count=jnp.int32(40),
-        kf_corner=kf_c, kf_corner_valid=jnp.ones(kf_c.shape[:2], bool),
-        kf_surf=kf_s, kf_surf_valid=jnp.ones(kf_s.shape[:2], bool),
-        kf_trans=jnp.asarray(rng.uniform(-10, 10, (caps.max_keyframes, 3)), jnp.float32),
-        kf_time=jnp.asarray(np.arange(caps.max_keyframes) * 0.5, jnp.float32),
-    )
+    timeit("scan_to_map_hashed (operating point)", f_s2m)
 
-    def asm_k(state):
-        def body(c, _):
-            s2 = state._replace(x6=state.x6 + c * 1e-9)
-            out = mapping._assemble_local_map(s2, caps, params, jnp.float32(20.0))
-            return out[0][0, 0], out
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
-
-    timeit("_assemble_local_map", asm_k, state)
-
-    # ---- stage 8: full map_step non-keyframe vs keyframe ----
     scan_info = dict(
-        stamp=jnp.float32(20.0), imu_available=jnp.array(True),
-        imu_rpy_init=jnp.zeros(3), odom_available=jnp.array(False),
-        odom_trans=jnp.zeros(3), odom_quat=jnp.array([1.0, 0, 0, 0]),
+        stamp=jnp.float32(s[0]["stamp"]),
+        imu_available=jnp.array(True), imu_rpy_init=rpy0,
+        odom_available=jnp.array(False), odom_trans=jnp.zeros(3),
+        odom_quat=jnp.array([1.0, 0, 0, 0]),
         odom_reset_id=jnp.int32(0),
-    )
-    state = state._replace(
-        map_corner=mc, map_corner_valid=mcv, map_surf=ms, map_surf_valid=msv,
-        corner_hash=ch, surf_hash=sh, x6=jnp.zeros(6),
+        gps_available=jnp.array(False), gps_pos=jnp.zeros(3),
+        gps_noise=jnp.zeros(3), gps_use_elevation=jnp.array(False),
     )
 
-    def step_k(state):
-        def body(c, _):
-            si = dict(scan_info); si["stamp"] = scan_info["stamp"] + c * 1e-6
-            s2, out = mapping.map_step(state, si, feats, caps, params)
-            return c + 1.0, out.x6
-        return jax.lax.scan(body, jnp.float32(0), None, length=K_REPS)[1]
+    def f_map_nonkf(c):
+        st, out = mapping.map_step(
+            state._replace(x6=state.x6 + c * 1e-12), scan_info, feats,
+            cfg.caps, cfg.params)
+        return out.x6[0]
 
-    timeit("map_step (incl kf-rebuild brs)", step_k, state)
+    timeit("map_step (non-kf)", f_map_nonkf, reps=16)
+
+    scan_info_kf = dict(scan_info, stamp=scan_info["stamp"] + 2.0)
+
+    def f_map_kf_incr(c):
+        st, out = mapping.map_step(
+            st_incr._replace(x6=st_incr.x6 + c * 1e-12), scan_info_kf,
+            feats, cfg.caps, cfg.params)
+        return out.x6[0]
+
+    timeit("map_step (kf, incremental)", f_map_kf_incr, reps=16)
+
+    def f_map_kf_full(c):
+        st, out = mapping.map_step(
+            st_full._replace(x6=st_full.x6 + c * 1e-12), scan_info_kf,
+            feats, cfg.caps, cfg.params)
+        return out.x6[0]
+
+    timeit("map_step (kf, full rebuild)", f_map_kf_full, reps=16)
 
     print(json.dumps(results))
 

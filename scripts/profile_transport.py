@@ -2,7 +2,7 @@
 
 Times every host call in the steady-state replay loop — pack_scan, the
 batched upload (`jnp.asarray`), and the batch dispatch — to show where the
-per-scan gap between device-step time (~7 ms, profile_stages3) and
+per-scan gap between device-step time (~7 ms, profile_stages.py) and
 replayed per-scan time (~12.5 ms, bench.py) goes. RPCs on this transport
 cost ~25 ms each (NOTES.md), so the question is which host calls block on
 an RPC and whether they overlap device execution.

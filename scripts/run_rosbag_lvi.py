@@ -15,6 +15,7 @@ Topic defaults follow the reference's handheld Livox MID360 configuration
 gravity alignment when the bag's IMU messages carry no orientation.
 """
 import argparse
+import os
 import sys
 import time
 
@@ -69,6 +70,10 @@ def main():
         image_height=syscfg.vins.camera.image_height,
         image_width=syscfg.vins.camera.image_width,
         use_loop_detector=not args.no_camera,
+        mapping_process_interval=lid.mappingProcessInterval,
+        # trained BoW vocabulary (pose_graph_node.cpp:297-314)
+        vocab_path=("configs/brief_vocab.npz"
+                    if os.path.exists("configs/brief_vocab.npz") else None),
     )
     sys_ = LviSystem(cfg)
 
