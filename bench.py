@@ -333,12 +333,29 @@ def _lvi_section(out):
     from lvislam_tpu.utils import synthetic as syn
     from lvislam_tpu.utils.metrics import ate_rmse
 
-    sys_ = make_system()
-    sys_.cfg.replay_batch = 16
-    # the reference's own real-time lever: scan-to-map throttled to
-    # >=0.15 s between solves (`mapOptimization.cpp:312`, the shipped
-    # params_lidar.yaml value) — at 10 Hz lidar the LIS maps at 5 Hz
-    sys_.cfg.mapping_process_interval = 0.15
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+
+    def build_system():
+        import dataclasses as dc
+
+        s = make_system(pallas=on_tpu)
+        s.cfg.replay_batch = 16
+        # the reference's own real-time lever: scan-to-map throttled to
+        # >=0.15 s between solves (`mapOptimization.cpp:312`, the shipped
+        # params_lidar.yaml value) — at 10 Hz lidar the LIS maps at 5 Hz
+        s.cfg.mapping_process_interval = 0.15
+        # same perf knobs as the LIO/VIO sections: depth-eliminated Schur
+        # BA (DENSE_SCHUR), cached-candidate re-scoring + incremental map
+        s.cfg.ba = dc.replace(s.cfg.ba, solver="schur")
+        s.cfg.lio.params = dc.replace(
+            s.cfg.lio.params, nnRefreshEvery=2, mapRebuildEvery=8,
+            gatherOncePerScan=on_tpu,  # needs the pallas query tail
+        )
+        return s
+
+    sys_ = build_system()
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0
@@ -362,21 +379,21 @@ def _lvi_section(out):
         for i in range(int(d * 10) - 1)
     ]
 
-    def feed(lo, hi):
+    def feed(s, lo, hi):
         for i, t in enumerate(imu_ts):
             if lo <= t < hi:
-                sys_.feed_imu(t, w_all[i], f_all[i],
-                              rpy=np.array(rpys[i], np.float32))
-        for t, s in scans:
+                s.feed_imu(t, w_all[i], f_all[i],
+                           rpy=np.array(rpys[i], np.float32))
+        for t, sc in scans:
             if lo <= t < hi:
-                sys_.feed_lidar(t, s)
+                s.feed_lidar(t, sc)
         for t, im in imgs:
             if lo <= t < hi:
-                sys_.feed_image(t, im)
+                s.feed_image(t, im)
 
-    feed(0.0, warm_s)
+    feed(sys_, 0.0, warm_s)
     sys_.run()  # warm: compiles + steady state reached
-    feed(warm_s, d)
+    feed(sys_, warm_s, d)
     t0 = time.perf_counter()
     sys_.run()
     wall = time.perf_counter() - t0
@@ -384,10 +401,31 @@ def _lvi_section(out):
     est_pos = np.stack([x6[3:6] for _, x6 in sys_.trajectory])
     gt = np.stack([traj.pose(np.array([t]))[0][0]
                    for t, _ in sys_.trajectory])
+    ate = float(ate_rmse(est_pos, gt, align=True))
     out["lvi_rtf_measured"] = round(timed_s / wall, 2)
-    out["lvi_ate_rmse_m"] = round(float(ate_rmse(est_pos, gt, align=True)), 4)
+    out["lvi_ate_rmse_m"] = round(ate, 4)
     out["lvi_vio_initialized"] = bool(sys_._vio_initialized)
     out["lvi_replay_active"] = sys_._replay_statics is not None
+
+    # full-LVI CPU-parity anchor (BASELINE gate: TPU ATE within 5% of the
+    # identical CPU-backend replay) — mirrors the LIO section's
+    # ate_cpu_ref_m / ate_vs_cpu_ref_pct
+    if on_tpu:
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            sys_cpu = make_system(pallas=False)
+            sys_cpu.cfg.replay_batch = 16
+            sys_cpu.cfg.mapping_process_interval = 0.15
+            feed(sys_cpu, 0.0, d)
+            sys_cpu.run()
+        est_cpu = np.stack([x6[3:6] for _, x6 in sys_cpu.trajectory])
+        gt_cpu = np.stack([traj.pose(np.array([t]))[0][0]
+                           for t, _ in sys_cpu.trajectory])
+        ate_cpu = float(ate_rmse(est_cpu, gt_cpu, align=True))
+        out["lvi_ate_cpu_ref_m"] = round(ate_cpu, 4)
+        # SIGNED like ate_vs_cpu_ref_pct: pass iff <= +5
+        out["lvi_ate_vs_cpu_ref_pct"] = round(
+            100.0 * (ate - ate_cpu) / max(ate_cpu, 1e-9), 2)
 
 
 def main():

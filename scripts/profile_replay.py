@@ -24,8 +24,16 @@ def main():
     from lvislam_tpu.utils import synthetic as syn
     from lvislam_tpu.models import replay as rp
 
-    sys_ = make_system()
+    import dataclasses as dc
+
+    on_tpu = jax.default_backend() != "cpu"
+    sys_ = make_system(pallas=on_tpu)
     sys_.cfg.replay_batch = 16
+    sys_.cfg.mapping_process_interval = 0.15  # bench operating point
+    sys_.cfg.ba = dc.replace(sys_.cfg.ba, solver="schur")
+    sys_.cfg.lio.params = dc.replace(
+        sys_.cfg.lio.params, nnRefreshEvery=2, mapRebuildEvery=8,
+        gatherOncePerScan=on_tpu)
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     d = 4.0
@@ -94,6 +102,35 @@ def main():
     t_frame = time_batch("all-frame", np.stack([frame_row] * K))
     mixed = np.stack([scan_row if i % 2 == 0 else frame_row for i in range(K)])
     t_mix = time_batch("mixed scan/frame", mixed)
+
+    # ---- frame-branch decomposition via statics variants (each is its own
+    # compile of the full event program; whole-batch deltas only — the
+    # device timer floor makes isolated sub-op numbers meaningless) ----
+    frames = np.stack([frame_row] * K)
+
+    def time_variant(name, st_v):
+        rows = jnp.asarray(frames)
+        c, _ = rp.replay_batch_step(carry, rows, st_v)
+        sync(c)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c, _ = rp.replay_batch_step(carry, rows, st_v)
+            sync(c)
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:28s} best {min(ts)*1e3:8.2f} ms/batch  "
+              f"{min(ts)*1e3/K:6.2f} ms/event", flush=True)
+
+    time_variant("frame: no depth reg", dc.replace(st, use_depth=False))
+    time_variant("frame: ba iterations=1",
+                 dc.replace(st, ba_cfg=dc.replace(st.ba_cfg, iterations=1)))
+    time_variant("frame: ba iterations=8",
+                 dc.replace(st, ba_cfg=dc.replace(st.ba_cfg, iterations=8)))
+    time_variant("frame: qr solver",
+                 dc.replace(st, ba_cfg=dc.replace(st.ba_cfg, solver="qr")))
+    time_variant(
+        "frame: klt_iters=8",
+        dc.replace(st, tracker=dc.replace(st.tracker, klt_iters=8)))
 
     # transfer costs
     rows = np.stack([scan_row if i % 2 == 0 else frame_row for i in range(K)])

@@ -24,13 +24,14 @@ from lvislam_tpu.utils.metrics import ate_rmse
 R_BC = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]]).T
 
 
-def make_system():
+def make_system(pallas=False):
     lio_cfg = LioConfig(
         n_scan=4, horizon=900, point_capacity=4096,
         caps=mapping.LioCaps(
             max_keyframes=64, kf_corner=256, kf_surf=1024, sel_keyframes=16,
             map_corner=4096, map_surf=16384, scan_corner=512, scan_surf=2048,
             max_loops=8, max_gps=8, loop_submap=4096, icp_iters=10,
+            pallas_knn=pallas, pallas_gn=pallas,
         ),
         params=mapping.LioParams(
             keyframeAddingDistThreshold=0.3, keyframeAddingAngleThreshold=0.1,
