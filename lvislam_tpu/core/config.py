@@ -254,6 +254,14 @@ def load_yaml(lidar_yaml: str | None = None, camera_yaml: str | None = None) -> 
         for blk in ("mirror_parameters", "distortion_parameters", "projection_parameters"):
             if isinstance(raw.get(blk), dict):
                 cam_kw.update(_filter_fields(CameraIntrinsics, raw[blk]))
+        # PINHOLE configs name the projection fx/fy/cx/cy
+        # (camodocal PinholeCamera::Parameters::readFromYamlFile)
+        proj = raw.get("projection_parameters")
+        if isinstance(proj, dict):
+            for src, dst in (("fx", "gamma1"), ("fy", "gamma2"),
+                             ("cx", "u0"), ("cy", "v0")):
+                if src in proj:
+                    cam_kw[dst] = proj[src]
         vins_kw = _filter_fields(VinsConfig, raw)
         for key in ("extrinsicRotation", "extrinsicTranslation"):
             if isinstance(raw.get(key), dict):

@@ -147,6 +147,26 @@ def parse_image(buf: bytes):
     return dict(stamp=stamp, image=img.astype(np.float32) / 255.0)
 
 
+def parse_compressed_image(buf: bytes):
+    """sensor_msgs/CompressedImage (header, format string, byte blob) —
+    what real handheld-rig bags record on the image topic (the reference's
+    quick-start bags use image_transport compressed). JPEG/PNG decoded via
+    PIL; grayscale f32 in [0, 1] like `parse_image`."""
+    import io
+
+    from PIL import Image as PILImage
+
+    c = Cdr(buf)
+    stamp, _ = c.header()
+    fmt = c.string()
+    data = c.bytes_seq()
+    img = np.asarray(
+        PILImage.open(io.BytesIO(bytes(data))).convert("L"), np.uint8
+    )
+    return dict(stamp=stamp, image=img.astype(np.float32) / 255.0,
+                format=fmt)
+
+
 # CustomPoint on the wire: {offset_time u32, x/y/z f32, reflectivity u8,
 # tag u8, line u8} = 19 bytes, padded to 20 so each element's u32 stays
 # 4-aligned (XCDR sequence-of-struct layout). The final element may omit the
@@ -321,6 +341,7 @@ _PARSERS = {
     "sensor_msgs/msg/Imu": ("imu", parse_imu),
     "sensor_msgs/msg/PointCloud2": ("pointcloud", parse_pointcloud2),
     "sensor_msgs/msg/Image": ("image", parse_image),
+    "sensor_msgs/msg/CompressedImage": ("image", parse_compressed_image),
     "livox_ros_driver2/msg/CustomMsg": ("livox", parse_livox_custommsg),
     "livox_ros_driver/msg/CustomMsg": ("livox", parse_livox_custommsg),
     "nav_msgs/msg/Odometry": ("odometry", parse_odometry),

@@ -52,24 +52,97 @@ def main():
 
     syscfg = load_yaml(args.lidar_yaml, args.camera_yaml)
     lid = syscfg.lidar
+    vin = syscfg.vins
+    from scipy.spatial.transform import Rotation as Rsc
+
     from lvislam_tpu.models.lio import imu_fusion as fus
+    from lvislam_tpu.models.lio.mapping import LioParams
+    from lvislam_tpu.models.vio import estimator as vest
+    from lvislam_tpu.models.vio import feature_manager as vfm
+    from lvislam_tpu.models.vio import feature_tracker as vft
+    from lvislam_tpu.ops import ba as vba
+
+    # camera-IMU extrinsic (imu^R_cam row-major, imu^T_cam -> tic/qic wxyz,
+    # `parameters.cpp:96-120`)
+    Ric = np.asarray(vin.extrinsicRotation, np.float64).reshape(3, 3)
+    qx = Rsc.from_matrix(Ric).as_quat()  # xyzw
+    qic = (float(qx[3]), float(qx[0]), float(qx[1]), float(qx[2]))
     cfg = LviConfig(
         lio=LioConfig(n_scan=lid.N_SCAN, horizon=lid.Horizon_SCAN,
                       point_capacity=1 << int(np.ceil(np.log2(
                           max(lid.N_SCAN * lid.Horizon_SCAN, 1024)))),
                       # IMU->lidar extrinsic (imuConverter, utility.h:315-349)
                       ext_rot=tuple(lid.extrinsicRot),
-                      ext_rpy=tuple(lid.extrinsicRPY)),
+                      ext_rpy=tuple(lid.extrinsicRPY),
+                      min_range=lid.lidarMinRange,
+                      max_range=lid.lidarMaxRange,
+                      edge_threshold=lid.edgeThreshold,
+                      surf_threshold=lid.surfThreshold,
+                      odometry_surf_leaf=lid.odometrySurfLeafSize,
+                      loop_closure_enabled=lid.loopClosureEnableFlag,
+                      params=LioParams(
+                          mappingCornerLeafSize=lid.mappingCornerLeafSize,
+                          mappingSurfLeafSize=lid.mappingSurfLeafSize,
+                          surroundingKeyframeSearchRadius=(
+                              lid.surroundingKeyframeSearchRadius),
+                          keyframeAddingDistThreshold=(
+                              lid.surroundingkeyframeAddingDistThreshold),
+                          keyframeAddingAngleThreshold=(
+                              lid.surroundingkeyframeAddingAngleThreshold),
+                          imuRPYWeight=lid.imuRPYWeight,
+                          z_tollerance=lid.z_tollerance,
+                          rotation_tollerance=lid.rotation_tollerance,
+                          useImuHeadingInitialization=(
+                              lid.useImuHeadingInitialization),
+                          historyKeyframeSearchRadius=(
+                              lid.historyKeyframeSearchRadius),
+                          historyKeyframeSearchTimeDiff=(
+                              lid.historyKeyframeSearchTimeDiff),
+                          historyKeyframeSearchNum=lid.historyKeyframeSearchNum,
+                          historyKeyframeFitnessScore=(
+                              lid.historyKeyframeFitnessScore),
+                          edgeFeatureMinValidNum=lid.edgeFeatureMinValidNum,
+                          surfFeatureMinValidNum=lid.surfFeatureMinValidNum,
+                          gpsCovThreshold=lid.gpsCovThreshold,
+                          poseCovThreshold=lid.poseCovThreshold,
+                      )),
         fusion=fus.FusionParams(imuAccNoise=lid.imuAccNoise,
                                 imuGyrNoise=lid.imuGyrNoise,
                                 imuAccBiasN=lid.imuAccBiasN,
                                 imuGyrBiasN=lid.imuGyrBiasN,
                                 imuGravity=lid.imuGravity,
                                 extTrans=tuple(lid.extrinsicTrans)),
-        camera=syscfg.vins.camera,
-        image_height=syscfg.vins.camera.image_height,
-        image_width=syscfg.vins.camera.image_width,
-        use_loop_detector=not args.no_camera,
+        # VIS parameters (`parameters.cpp:52-150`)
+        vio_caps=vfm.VioCaps(window=vin.WINDOW_SIZE,
+                             max_features=max(vin.max_cnt, 128),
+                             imu_buf=64, frame_features=vin.max_cnt),
+        vio_params=vest.VioParams(
+            acc_n=vin.acc_n, gyr_n=vin.gyr_n, acc_w=vin.acc_w,
+            gyr_w=vin.gyr_w, g_norm=vin.g_norm,
+            min_parallax=vin.keyframe_parallax / vin.FOCAL_LENGTH,
+            init_depth=vin.INIT_DEPTH,
+            estimate_extrinsic_rotation=vin.estimate_extrinsic == 2),
+        ba=vba.BAConfig(window=vin.WINDOW_SIZE,
+                        max_features=max(vin.max_cnt, 128),
+                        focal=vin.FOCAL_LENGTH,
+                        iterations=vin.max_num_iterations,
+                        estimate_td=vin.estimate_td,
+                        estimate_extrinsic=vin.estimate_extrinsic == 1,
+                        solver="schur"),
+        tracker=vft.TrackerParams(max_cnt=vin.max_cnt, min_dist=vin.min_dist,
+                                  F_threshold=vin.F_threshold,
+                                  equalize=vin.equalize,
+                                  focal_virtual=vin.FOCAL_LENGTH),
+        tic=tuple(float(v) for v in vin.extrinsicTranslation),
+        qic=qic,
+        camera=vin.camera,
+        image_height=vin.camera.image_height,
+        image_width=vin.camera.image_width,
+        use_lidar_depth=vin.use_lidar,
+        lidar_skip=vin.lidar_skip,
+        rolling_shutter_tr=(vin.rolling_shutter_tr
+                            if vin.rolling_shutter else 0.0),
+        use_loop_detector=not args.no_camera and vin.loop_closure,
         mapping_process_interval=lid.mappingProcessInterval,
         # trained BoW vocabulary (pose_graph_node.cpp:297-314)
         vocab_path=("configs/brief_vocab.npz"
