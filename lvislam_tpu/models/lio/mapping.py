@@ -183,6 +183,13 @@ class LioMapState(NamedTuple):
     last_gps_pos: jax.Array  # (3,)
     has_gps: jax.Array  # () bool — any GPS factor applied yet
     n_gps: jax.Array  # () int32 count of GPS factors added
+    # first-order x/y marginal-covariance proxy of the newest keyframe (the
+    # reference reads iSAM's marginalCovariance(3,3)/(4,4) to gate GPS,
+    # `mapOptimization.cpp:1437-1445`; the batch solver has no cheap
+    # marginals, so the same quantity is propagated in closed form — see
+    # `_add_keyframe`)
+    pose_cov_xy: jax.Array  # ()
+    yaw_var: jax.Array  # () accumulated yaw variance (leverage term)
     # cached assembled local map (the reference's laserCloudMapContainer +
     # *FromMapDS, rebuilt on keyframe insertion / loop correction instead of
     # per scan — identical content, since the keyframe set only changes then)
@@ -242,6 +249,10 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         last_gps_pos=jnp.zeros(3, dtype),
         has_gps=jnp.array(False),
         n_gps=jnp.int32(0),
+        # the prior leaves position free (var 1e8, `mapOptimization.cpp:
+        # 1418`) — absolute x/y covariance is huge until the first GPS fix
+        pose_cov_xy=jnp.asarray(1e8, dtype),
+        yaw_var=jnp.asarray(9.8696044, dtype),  # prior yaw var (pi^2)
         map_corner=jnp.zeros((caps.map_corner, 3), dtype),
         map_corner_valid=jnp.zeros(caps.map_corner, bool),
         map_surf=jnp.zeros((caps.map_surf, 3), dtype),
@@ -492,8 +503,23 @@ def _add_keyframe(state: LioMapState, feats: FeatureResult, caps: LioCaps,
         node_valid=g.node_valid.at[k].set(True),
     )
 
+    # first-order propagation of the newest pose's x/y marginal covariance
+    # (the iSAM marginal the reference gates GPS on): each odometry hop adds
+    # the odom position variance plus the yaw-uncertainty leverage over the
+    # step length; yaw variance itself accumulates the odom rotation
+    # variance. Variances from `mapOptimization.cpp:1422` (1e-6 rad^2,
+    # 1e-4 m^2). GPS factors collapse it back (`_add_gps_factor_impl`).
+    step2 = jnp.sum((t - state.kf_trans[jnp.maximum(k - 1, 0)]) ** 2)
+    yaw_var2 = jnp.where(k == 0, state.yaw_var, state.yaw_var + 1e-6)
+    cov2 = jnp.where(
+        k == 0, state.pose_cov_xy,
+        state.pose_cov_xy + 1e-4 + step2 * yaw_var2,
+    )
+
     return state._replace(
         graph=g,
+        pose_cov_xy=jnp.minimum(cov2, 1e8),
+        yaw_var=yaw_var2,
         kf_trans=state.kf_trans.at[k].set(t),
         kf_quat=state.kf_quat.at[k].set(q),
         kf_time=state.kf_time.at[k].set(scan_time),
@@ -766,14 +792,16 @@ def _add_gps_factor_impl(
     """`addGPSFactor` (`mapOptimization.cpp:1433-1507`): unary position
     factor on the newest keyframe. Gates reproduced:
 
+    - pose-covariance need: the newest pose's x/y marginal >=
+      poseCovThreshold (`:1437-1445`, iSAM marginalCovariance(3,3)/(4,4)) —
+      here the first-order propagated proxy `state.pose_cov_xy` (see
+      `_add_keyframe`), which starts at the prior's free-position 1e8,
+      grows with odometry noise + yaw leverage, and collapses to the GPS
+      noise when a factor is applied;
     - system settled: distance first->last keyframe >= 5 m (`:1459-1461`);
     - GPS quality: x/y variance <= gpsCovThreshold (`:1466-1470`);
     - GPS spacing: >= 5 m from the last APPLIED GPS point (`:1477-1482`);
-    - noise floor 1.0 (`:1484-1496`), optional elevation (`:1487-1491`).
-
-    The reference's pose-covariance need gate (`:1437-1441`, iSAM marginals
-    on x/y) has no cheap batch-solver equivalent here; the 5 m GPS spacing
-    gate bounds the factor rate the same way in practice."""
+    - noise floor 1.0 (`:1484-1496`), optional elevation (`:1487-1491`)."""
     k = state.kf_count - 1
     g = state.graph
     noise = jnp.maximum(gps_noise, 1.0)  # (`:1496` floor at 1.0)
@@ -782,7 +810,9 @@ def _add_gps_factor_impl(
     pos = jnp.concatenate([gps_pos[:2], z[None]])
     sqrtw = 1.0 / jnp.sqrt(jnp.concatenate([noise[:2], nz[None]]))
 
-    ok = (state.kf_count > 0) & (
+    ok = (state.pose_cov_xy >= params.poseCovThreshold) & (
+        state.kf_count > 0
+    ) & (
         jnp.linalg.norm(state.kf_trans[0] - state.kf_trans[k]) >= 5.0
     ) & (gps_noise[0] <= params.gpsCovThreshold) & (
         gps_noise[1] <= params.gpsCovThreshold
@@ -797,10 +827,22 @@ def _add_gps_factor_impl(
             up_sqrtw=g.up_sqrtw.at[slot].set(sqrtw),
             up_valid=g.up_valid.at[slot].set(True),
         )
+        # the applied factor collapses the newest pose's x/y marginal to
+        # ~the GPS noise; a PAIR of fixes separated by d also constrains
+        # yaw to ~2*var/d^2 (the mechanism by which iSAM's marginals keep
+        # shrinking as fixes accumulate)
+        xy_var = 0.5 * (noise[0] + noise[1])
+        d2 = jnp.sum((pos - state.last_gps_pos) ** 2)
+        yaw2 = jnp.where(
+            state.has_gps,
+            jnp.minimum(state.yaw_var, 2.0 * xy_var / jnp.maximum(d2, 1.0)),
+            state.yaw_var,
+        )
         return state._replace(
             graph=g2, loop_pending=jnp.array(True),
             last_gps_pos=pos, has_gps=jnp.array(True),
             n_gps=state.n_gps + 1,
+            pose_cov_xy=xy_var, yaw_var=yaw2,
         )
 
     return jax.lax.cond(ok & (~g.up_valid[slot]), add, lambda s: s, state)

@@ -247,8 +247,12 @@ class LviSystem:
         self._replay_statics = None
         self._ev_rows: list = []
         self._ev_meta: list = []
-        self._pending: list = []  # shipped batches awaiting readback
         self._replay_last_frame_t = -1.0
+        # RPC worker (see _ship_events)
+        self._rp_worker = None
+        self._rp_q = None
+        self._rp_results = None
+        self._rp_exc: BaseException | None = None
 
         self.metrics = MetricsLogger(cfg.metrics_path)
         self.bus.subscribe("imu", self._on_imu)
@@ -436,6 +440,16 @@ class LviSystem:
             self._ship_events()
 
     def _ship_events(self):
+        """Hand the staged batch to the RPC worker thread. The axon tunnel
+        BLOCKS the calling thread ~25 ms per committed transfer (upload ~50
+        ms for a 1.25 MB event batch, readback ~25 ms — NOTES.md); those
+        waits are IO-bound (GIL released), so a single FIFO worker overlaps
+        them with the main thread's event packing and with the device's
+        execution of the previous batch — the same pattern as the LIO
+        replay's async_dispatch (models/lio/pipeline.py)."""
+        import queue
+        import threading
+
         from . import replay as rp
 
         rows, meta = self._ev_rows, self._ev_meta
@@ -443,28 +457,75 @@ class LviSystem:
         while len(rows) < self.cfg.replay_batch:
             rows.append(rp.pack_noop_event(self._replay_statics))
             meta.append((rp.KIND_NOOP, 0.0))
-        arr = jnp.asarray(np.stack(rows))  # the one upload per batch
-        self._carry, outs = rp.replay_batch_step(
-            self._carry, arr, self._replay_statics
-        )
-        # keep host references pointing at the live device state (free)
-        self.lio.state = self._carry.lio
-        self.fusion = self._carry.fusion
-        self.tracker = self._carry.tracker
-        self.vio = self._carry.vio
-        self.loop_db = self._carry.loop_db
-        self.depth_clouds = self._carry.depth_clouds
-        self.depth_valid = self._carry.depth_valid
-        self._pending.append((meta, outs))
-        # materialize the PREVIOUS batch (its compute is done by now: the
-        # deferred readback costs one RPC of transfer latency, not a stall)
-        if len(self._pending) > 1:
-            self._process_outputs(*self._pending.pop(0))
+        if self._rp_worker is None:
+            self._rp_q = queue.Queue()
+            self._rp_results = queue.Queue()
+            self._rp_worker = threading.Thread(
+                target=self._rp_worker_loop, name="lvi-rpc-worker",
+                daemon=True)
+            self._rp_worker.start()
+        self._rp_q.put((rows, meta))
+        self._drain_results()
 
-    def _process_outputs(self, meta, outs):
+    def _rp_worker_loop(self):
+        """Sequential device interaction for enqueued event batches. Owns
+        `self._carry` while the queue is non-empty; the main thread touches
+        it only after `_rp_join()`."""
         from . import replay as rp
 
-        o = np.asarray(outs)  # the one readback per batch
+        while True:
+            item = self._rp_q.get()
+            try:
+                if item is None:
+                    return
+                if self._rp_exc is not None:
+                    continue  # drain remaining items after a failure
+                rows, meta = item
+                arr = jnp.asarray(np.stack(rows))  # one upload per batch
+                self._carry, outs = rp.replay_batch_step(
+                    self._carry, arr, self._replay_statics
+                )
+                # the one readback per batch — blocks THIS thread only
+                self._rp_results.put((meta, np.asarray(outs)))
+            except BaseException as e:  # surfaced on the main thread
+                self._rp_exc = e
+            finally:
+                self._rp_q.task_done()
+
+    def _rp_join(self):
+        """Wait for the worker to go idle; re-raise any worker failure and
+        re-point the host mirrors at the live device state."""
+        if self._rp_q is not None:
+            self._rp_q.join()
+        if self._rp_exc is not None:
+            exc, self._rp_exc = self._rp_exc, None
+            raise exc
+        if self._carry is not None:
+            self.lio.state = self._carry.lio
+            self.fusion = self._carry.fusion
+            self.tracker = self._carry.tracker
+            self.vio = self._carry.vio
+            self.loop_db = self._carry.loop_db
+            self.depth_clouds = self._carry.depth_clouds
+            self.depth_valid = self._carry.depth_valid
+
+    def _drain_results(self):
+        import queue
+
+        if self._rp_results is None:
+            return
+        while True:
+            try:
+                meta, o = self._rp_results.get(block=False)
+            except queue.Empty:
+                return
+            if self._process_outputs(meta, o):
+                return  # deactivated (drains the rest itself)
+
+    def _process_outputs(self, meta, o) -> bool:
+        """Returns True if a VIO failure deactivated the replay."""
+        from . import replay as rp
+
         lost_init = False
         for (kind, stamp), row in zip(meta, o):
             if kind == rp.KIND_SCAN:
@@ -477,30 +538,38 @@ class LviSystem:
                     lost_init = True
         if lost_init:
             self._deactivate_replay()
+        return lost_init
 
     def _replay_flush(self):
-        """Drain staged events + pending readbacks (end of a run() drive)."""
+        """Drain staged events + in-flight batches (end of a run() drive)."""
         if not self._replay_active:
             return
         if self._ev_rows:
             self._ship_events()
-        while self._pending:
-            self._process_outputs(*self._pending.pop(0))
+        if self._rp_q is not None:
+            self._rp_join()
+        self._drain_results()
 
     def _deactivate_replay(self):
         """VIO failure during batched replay: hand state back to the
         interactive path (which owns re-initialization, exchange 5)."""
         if not self._replay_active:
             return
+        import queue
+
         self._replay_active = False  # guard first: drain without recursion
         if self._ev_rows:
             self._ship_events()
-        while self._pending:
-            meta, outs = self._pending.pop(0)
-            # plain readback only — no recursive deactivation
-            o = np.asarray(outs)
-            from . import replay as rp
+        if self._rp_q is not None:
+            self._rp_join()
+        # plain readbacks only — no recursive deactivation
+        from . import replay as rp
 
+        while self._rp_results is not None:
+            try:
+                meta, o = self._rp_results.get(block=False)
+            except queue.Empty:
+                break
             for (kind, stamp), row in zip(meta, o):
                 if kind == rp.KIND_SCAN:
                     self.trajectory.append((stamp, row[1:7]))

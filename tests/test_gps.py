@@ -17,7 +17,10 @@ CAPS = mapping.LioCaps(
     surf_hash_bucket=8,
 )
 # keyframe every scan; feature gates unmet -> GN skipped, pose = guess
-PARAMS = mapping.LioParams(livox_keyframe_interval=0.0)
+# poseCovThreshold=0: the covariance NEED gate (mapOptimization.cpp:1437-1445)
+# always passes, isolating the spacing/quality gates these tests encode;
+# the need gate itself is tested in test_gps_covariance_need_gate
+PARAMS = mapping.LioParams(livox_keyframe_interval=0.0, poseCovThreshold=0.0)
 
 
 def _empty_feats():
@@ -130,3 +133,43 @@ def test_gps_through_packed_pipeline():
     pos = np.asarray(pipe.state.graph.up_pos[np.asarray(pipe.state.graph.up_valid)])
     # GPS positions (not the drifted odometry) landed in the graph
     assert (np.abs(pos[:, 0] - np.round(pos[:, 0])) < 1e-4).all(), pos
+
+
+def test_gps_covariance_need_gate():
+    """The reference only adds GPS while the newest pose's x/y marginal is
+    above poseCovThreshold (`mapOptimization.cpp:1437-1445`). The propagated
+    proxy must reproduce that: the first fix is admitted off the free-
+    position prior, then admission PAUSES while the graph is tight and
+    resumes only after odometry uncertainty re-accumulates."""
+    params = mapping.LioParams(livox_keyframe_interval=0.0,
+                               poseCovThreshold=25.0)
+    state = mapping.lio_init(CAPS)
+    feats = _empty_feats()
+    n_hist = []
+    for i in range(40):
+        true_x = float(i)
+        scan = dict(
+            stamp=jnp.float32(0.1 * (i + 1)),
+            imu_available=jnp.array(False),
+            imu_rpy_init=jnp.zeros(3),
+            odom_available=jnp.array(True),
+            odom_trans=jnp.array([float(i + 1), 0.0, 0.0]),
+            odom_quat=jnp.array([1.0, 0, 0, 0]),
+            odom_reset_id=jnp.int32(0),
+            gps_available=jnp.array(True),
+            gps_pos=jnp.array([true_x, 0.0, 0.0]),
+            gps_noise=jnp.full(3, 0.25),
+            gps_use_elevation=jnp.array(False),
+        )
+        state, _ = mapping.map_step(state, scan, feats, CAPS, params)
+        n_hist.append(int(state.n_gps))
+    # prior position variance is 1e8 -> the first qualifying fix lands
+    assert n_hist[-1] >= 1
+    # after a fix the proxy collapses to ~the GPS noise, so with the pair-
+    # of-fixes yaw tightening the graph stays below threshold for many
+    # keyframes: admission must PAUSE (fewer factors than the spacing-only
+    # gate would allow, which is one per 5 keyframes here)
+    assert n_hist[-1] < 40 // 5, n_hist[-1]
+    # covariance proxy is growing again after the last fix
+    assert float(state.pose_cov_xy) > float(
+        0.5 * (max(0.25, 1.0) + max(0.25, 1.0))) - 1e-6

@@ -80,7 +80,8 @@ def test_replay_parity_with_interactive_path():
     assert float(np.max(d)) < 0.10, f"max pose gap {d.max()}"
 
     # the batched run drained everything (no stranded events/readbacks)
-    assert not sys_b._ev_rows and not sys_b._pending
+    assert not sys_b._ev_rows
+    assert sys_b._rp_results is None or sys_b._rp_results.empty()
 
 
 @pytest.mark.slow
@@ -113,4 +114,5 @@ def test_replay_partial_batch_flush():
     assert len(sys_.trajectory) > n1
     stamps = [t for t, _ in sys_.trajectory]
     assert stamps == sorted(stamps)
-    assert not sys_._ev_rows and not sys_._pending
+    assert not sys_._ev_rows
+    assert sys_._rp_results is None or sys_._rp_results.empty()
