@@ -220,7 +220,12 @@ class LviSystem:
         # depth cloud ring (VINS world frame) — DEVICE-resident: consumed
         # only by the fused frame step, so shipping it per frame would be
         # a pointless ~600 KB x 25 ms-latency transfer (NOTES.md)
-        S, P = cfg.depth_cloud_slots, cfg.depth_cloud_points
+        # point-dim clamped to kf_surf: both writers (`_accumulate_depth_
+        # cloud`, replay `depth_n`) copy at most kf_surf points per slot,
+        # so capacity beyond that is permanently-invalid padding that the
+        # depth associator would still pay full transform+scatter cost for
+        S = cfg.depth_cloud_slots
+        P = min(cfg.depth_cloud_points, cfg.lio.caps.kf_surf)
         self.depth_clouds = jnp.zeros((S, P, 3), jnp.float32)
         self.depth_valid = jnp.zeros((S, P), bool)
         if self._pipelined:  # ring lives with the tracker stage

@@ -166,27 +166,44 @@ def tracker_step(
     track_cnt = jnp.where(tracked, state.track_cnt + 1, 0)
     ids = jnp.where(tracked, state.ids, -1)
 
-    # --- refill with new detections ---
-    new_pts, new_valid = gftt.detect(
-        img, pts, tracked, max_pts=N, cell=params.min_dist, border=params.border
+    # --- refill with new detections, only when slots are free — the
+    # reference skips goodFeaturesToTrack entirely when n_max_cnt == 0
+    # (`feature_tracker.cpp:138-160`); the Shi-Tomasi response over the
+    # whole image is the tracker's priciest op, so the cond saves it on
+    # full frames ---
+    def refill(args):
+        pts, ids, track_cnt, norm_new, vel = args
+        new_pts, new_valid = gftt.detect(
+            img, pts, tracked, max_pts=N, cell=params.min_dist,
+            border=params.border,
+        )
+        free = ~tracked
+        # rank free slots / detections; k-th detection fills k-th free slot
+        free_rank = jnp.cumsum(free) - 1  # rank among free slots per slot
+        det_ok = new_valid
+        det_rank_of_slot = free_rank  # detection index used by this slot
+        take = free & (det_rank_of_slot < jnp.sum(det_ok))
+        # detections are sorted by response from top_k; compact valid ones
+        det_order = jnp.argsort(~det_ok, stable=True)
+        det_pts_sorted = new_pts[det_order]
+        sel_det = det_pts_sorted[jnp.clip(det_rank_of_slot, 0, N - 1)]
+        pts = jnp.where(take[:, None], sel_det, pts)
+        new_ids = state.next_id + free_rank.astype(jnp.int32)
+        ids = jnp.where(take, new_ids, ids)
+        track_cnt = jnp.where(take, 1, track_cnt)
+        norm_new = jnp.where(
+            take[:, None], camera.normalized_plane(pts, cam), norm_new
+        )
+        vel = jnp.where(take[:, None], 0.0, vel)
+        next_id = state.next_id + jnp.sum(take).astype(jnp.int32)
+        return pts, ids, track_cnt, norm_new, vel, next_id
+
+    pts, ids, track_cnt, norm_new, vel, next_id = jax.lax.cond(
+        jnp.sum(tracked) < N,
+        refill,
+        lambda a: (*a, state.next_id),
+        (pts, ids, track_cnt, norm_new, vel),
     )
-    free = ~tracked
-    # rank free slots and new detections; assign k-th detection to k-th free slot
-    free_rank = jnp.cumsum(free) - 1  # rank among free slots for each slot
-    det_ok = new_valid
-    det_rank_of_slot = free_rank  # detection index used by this slot
-    take = free & (det_rank_of_slot < jnp.sum(det_ok))
-    # detections are already sorted by response from top_k; compact valid ones
-    det_order = jnp.argsort(~det_ok, stable=True)
-    det_pts_sorted = new_pts[det_order]
-    sel_det = det_pts_sorted[jnp.clip(det_rank_of_slot, 0, N - 1)]
-    pts = jnp.where(take[:, None], sel_det, pts)
-    new_ids = state.next_id + free_rank.astype(jnp.int32)
-    ids = jnp.where(take, new_ids, ids)
-    track_cnt = jnp.where(take, 1, track_cnt)
-    norm_new = jnp.where(take[:, None], camera.normalized_plane(pts, cam), norm_new)
-    vel = jnp.where(take[:, None], 0.0, vel)
-    next_id = state.next_id + jnp.sum(take).astype(jnp.int32)
 
     new_state = TrackerState(
         prev_pyr=next_pyr,

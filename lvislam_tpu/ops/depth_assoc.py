@@ -54,11 +54,14 @@ def feature_depths(
     rng = jnp.linalg.norm(cloud_xyz, axis=-1)
     flat = jnp.where(ok, row * num_bins + col, num_bins * num_bins)
 
-    # nearest-per-bin: scatter-min of (range, point index) packed ordering
-    order = jnp.argsort(jnp.where(ok, rng, jnp.inf))  # nearest first
-    win = jnp.full(num_bins * num_bins + 1, P, jnp.int32)
-    # first write wins => iterate farthest->nearest so nearest lands last:
-    win = win.at[flat[order[::-1]]].set(order[::-1].astype(jnp.int32))
+    # nearest-per-bin via two scatter-mins (exact, lowest-index tie-break) —
+    # a P-sized argsort is pure waste on TPU (NOTES.md): min the range per
+    # bin, then min the point index among range-achieving points
+    rngw = jnp.where(ok, rng, _FLT_MAX)
+    binmin = jnp.full(num_bins * num_bins + 1, _FLT_MAX).at[flat].min(rngw)
+    is_min = ok & (rngw <= binmin[flat])
+    idxw = jnp.where(is_min, jnp.arange(P, dtype=jnp.int32), P)
+    win = jnp.full(num_bins * num_bins + 1, P, jnp.int32).at[flat].min(idxw)
     win = win[:-1]
     bin_occupied = win < P
     widx = jnp.where(bin_occupied, win, 0)

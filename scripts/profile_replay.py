@@ -103,13 +103,14 @@ def main():
     mixed = np.stack([scan_row if i % 2 == 0 else frame_row for i in range(K)])
     t_mix = time_batch("mixed scan/frame", mixed)
 
-    # ---- frame-branch decomposition via statics variants (each is its own
+    # ---- branch decomposition via statics variants (each is its own
     # compile of the full event program; whole-batch deltas only — the
     # device timer floor makes isolated sub-op numbers meaningless) ----
     frames = np.stack([frame_row] * K)
+    scans_np = np.stack([scan_row] * K)
 
-    def time_variant(name, st_v):
-        rows = jnp.asarray(frames)
+    def time_variant(name, st_v, rows_np=frames):
+        rows = jnp.asarray(rows_np)
         c, _ = rp.replay_batch_step(carry, rows, st_v)
         sync(c)
         ts = []
@@ -131,6 +132,30 @@ def main():
     time_variant(
         "frame: klt_iters=8",
         dc.replace(st, tracker=dc.replace(st.tracker, klt_iters=8)))
+
+    # scan-branch decomposition: raising the min-valid-feature gates makes
+    # `map_step` take its too-few-features path, skipping the whole GN
+    # solve — the delta vs all-scan is the scan-to-map share; the other
+    # two localize correspondence-refresh and map-rebuild cost
+    time_variant(
+        "scan: no GN (minValid gate)",
+        dc.replace(st, lio_params=dc.replace(
+            st.lio_params, edgeFeatureMinValidNum=10**6,
+            surfFeatureMinValidNum=10**6)),
+        scans_np)
+    time_variant(
+        "scan: nnRefreshEvery=4",
+        dc.replace(st, lio_params=dc.replace(st.lio_params, nnRefreshEvery=4)),
+        scans_np)
+    time_variant(
+        "scan: mapRebuildEvery=32",
+        dc.replace(st, lio_params=dc.replace(st.lio_params, mapRebuildEvery=32)),
+        scans_np)
+    # do_depth lives in the row header (f32[1] = int16[2:4]), not statics
+    scan_nodepth = scan_row.copy()
+    scan_nodepth[2:4] = 0
+    time_variant("scan: no depth accumulate", st,
+                 np.stack([scan_nodepth] * K))
 
     # transfer costs
     rows = np.stack([scan_row if i % 2 == 0 else frame_row for i in range(K)])
