@@ -207,6 +207,19 @@ class LioMapState(NamedTuple):
     kf_since_rebuild: jax.Array  # () int32
     leaf_occ_corner: jax.Array  # (Tlc,) int16
     leaf_occ_surf: jax.Array  # (Tls,) int16
+    # running per-leaf centroid accumulators (incremental mode): every new
+    # observation of an occupied leaf scatter-adds into its map row's sum /
+    # count and the row is re-centroided — the union-downsample averaging
+    # the reference's per-keyframe rebuild gets for free
+    # (`mapOptimization.cpp:931-970`), without which map points freeze at
+    # the FIRST observation's pose error (measured +19% LIO / +62% LVI ATE
+    # at mapRebuildEvery=8; see scripts/bisect_lio.py)
+    leaf_row_corner: jax.Array  # (Tlc,) int32 map row of each claimed leaf
+    leaf_row_surf: jax.Array  # (Tls,) int32
+    map_corner_accum: jax.Array  # (Mc, 3) per-row position sums
+    map_corner_cnt: jax.Array  # (Mc,) observation counts
+    map_surf_accum: jax.Array  # (Ms, 3)
+    map_surf_cnt: jax.Array  # (Ms,)
 
 
 class MapOutputs(NamedTuple):
@@ -270,6 +283,12 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         kf_since_rebuild=jnp.int32(0),
         leaf_occ_corner=jnp.full(caps.corner_leaf_table, -1, jnp.int16),
         leaf_occ_surf=jnp.full(caps.surf_leaf_table, -1, jnp.int16),
+        leaf_row_corner=jnp.full(caps.corner_leaf_table, -1, jnp.int32),
+        leaf_row_surf=jnp.full(caps.surf_leaf_table, -1, jnp.int32),
+        map_corner_accum=jnp.zeros((caps.map_corner, 3), dtype),
+        map_corner_cnt=jnp.zeros(caps.map_corner, dtype),
+        map_surf_accum=jnp.zeros((caps.map_surf, 3), dtype),
+        map_surf_cnt=jnp.zeros(caps.map_surf, dtype),
     )
 
 
@@ -532,12 +551,12 @@ def _add_keyframe(state: LioMapState, feats: FeatureResult, caps: LioCaps,
 
 
 def _claim_new_leaves(occ: jax.Array, pts: jax.Array, valid: jax.Array, leaf):
-    """Leaf-voxel dedup for incremental map growth: returns (occ', new_ok)
-    where new_ok marks the first point of each not-yet-claimed leaf voxel
-    (first-point-wins; the periodic full rebuild re-centroids). Slot
-    collisions between distinct leaves resolve by tag overwrite — the
-    displaced leaf may re-admit a duplicate later, bounded by the rebuild
-    interval."""
+    """Leaf-voxel dedup for incremental map growth: returns
+    (occ', new_ok, slot, tag) where new_ok marks the first point of each
+    not-yet-claimed leaf voxel (it becomes the leaf's map row; later
+    observations fold into its running centroid). Slot collisions between
+    distinct leaves resolve by tag overwrite — the displaced leaf may
+    re-admit a duplicate later, bounded by the rebuild interval."""
     Tl = occ.shape[0]
     N = pts.shape[0]
     c = jnp.floor(pts / leaf).astype(jnp.int32)
@@ -556,7 +575,7 @@ def _claim_new_leaves(occ: jax.Array, pts: jax.Array, valid: jax.Array, leaf):
     occ = occ.at[jnp.where(new_ok, slot, Tl)].set(
         tag.astype(jnp.int16), mode="drop"
     )
-    return occ, new_ok
+    return occ, new_ok, slot, tag
 
 
 def _append_map_points(map_pts, map_valid, n, pts_w, ok, capacity: int):
@@ -571,12 +590,54 @@ def _append_map_points(map_pts, map_valid, n, pts_w, ok, capacity: int):
     return map_pts, map_valid, n + jnp.sum(ok.astype(jnp.int32)), dst, ok
 
 
+def _incremental_centroid_update(
+    map_pts, map_valid, n, accum, cnt, occ, leaf_row,
+    pts_w, valid, leaf, capacity: int,
+):
+    """One feature class of `_incremental_map_update`: leaf-claim, append
+    first-of-new-leaf points, then fold EVERY observation into its leaf's
+    running centroid (scatter-add sums/counts, re-centroid the rows).
+    Returns (map_pts, map_valid, n, accum, cnt, occ, leaf_row, ins_pts,
+    ins_ok, ins_dst) — the ins_* describing the appended rows for the
+    spatial-hash insert."""
+    occ2, new_ok, slot, tag = _claim_new_leaves(occ, pts_w, valid, leaf)
+    map_pts, map_valid, n2, dst, kept = _append_map_points(
+        map_pts, map_valid, n, pts_w, new_ok, capacity
+    )
+    # register the appended rows; capacity-dropped claims release their
+    # leaf (occ reverts to unclaimed) so they can't poison later centroids
+    occ2 = jnp.where(
+        jnp.zeros_like(occ2, bool).at[
+            jnp.where(new_ok & ~kept, slot, occ2.shape[0])
+        ].set(True, mode="drop"),
+        occ, occ2,
+    )
+    leaf_row = leaf_row.at[jnp.where(kept, slot, leaf_row.shape[0])].set(
+        dst, mode="drop"
+    )
+    # running centroid: every valid observation whose leaf has a registered
+    # row (including the just-appended firsts) contributes
+    row = leaf_row[slot]
+    contrib = valid & (occ2[slot] == tag.astype(jnp.int16)) & (row >= 0)
+    row = jnp.where(contrib, row, capacity)
+    accum = accum.at[row].add(jnp.where(contrib[:, None], pts_w, 0.0),
+                              mode="drop")
+    cnt = cnt.at[row].add(contrib.astype(cnt.dtype), mode="drop")
+    map_pts = jnp.where((cnt > 0)[:, None], accum / jnp.maximum(cnt, 1.0)[:, None],
+                        map_pts)
+    return map_pts, map_valid, n2, accum, cnt, occ2, leaf_row, dst, kept
+
+
 def _incremental_map_update(state: LioMapState, caps: LioCaps, params: LioParams):
     """O(new-points) local-map growth for a non-rebuild keyframe: transform
-    the just-stored keyframe cloud to world, leaf-dedup against the map,
-    append, and scatter-insert into the hashes (`ops.voxel_hash.insert`).
-    Replaces the reference's per-keyframe extractNearby/extractCloud
-    re-downsample (`mapOptimization.cpp:894-970`) between full rebuilds."""
+    the just-stored keyframe cloud to world, fold it into the map's running
+    per-leaf centroids (new leaves append; occupied leaves re-centroid),
+    and scatter-insert the appended rows into the hashes
+    (`ops.voxel_hash.insert`). Replaces the reference's per-keyframe
+    extractNearby/extractCloud re-downsample (`mapOptimization.cpp:894-970`)
+    between full rebuilds, INCLUDING its union-centroid averaging of
+    overlapping keyframe clouds (the accuracy-critical part — see
+    LioMapState.leaf_row_* note)."""
     k = state.kf_count - 1
     t, q = state.kf_trans[k], state.kf_quat[k]
     cw = lie.quat_rotate(q[None, :], state.kf_corner[k]) + t[None, :]
@@ -584,24 +645,33 @@ def _incremental_map_update(state: LioMapState, caps: LioCaps, params: LioParams
     c_val = state.kf_corner_valid[k]
     s_val = state.kf_surf_valid[k]
 
-    occ_c, ok_c = _claim_new_leaves(
-        state.leaf_occ_corner, cw, c_val, params.mappingCornerLeafSize
+    mc, mc_val, nc, acc_c, cnt_c, occ_c, lr_c, dst_c, ok_c = (
+        _incremental_centroid_update(
+            state.map_corner, state.map_corner_valid, state.map_corner_n,
+            state.map_corner_accum, state.map_corner_cnt,
+            state.leaf_occ_corner, state.leaf_row_corner,
+            cw, c_val, params.mappingCornerLeafSize, caps.map_corner,
+        )
     )
-    occ_s, ok_s = _claim_new_leaves(
-        state.leaf_occ_surf, sw, s_val, params.mappingSurfLeafSize
-    )
-    mc, mc_val, nc, dst_c, ok_c = _append_map_points(
-        state.map_corner, state.map_corner_valid, state.map_corner_n,
-        cw, ok_c, caps.map_corner,
-    )
-    ms, ms_val, ns, dst_s, ok_s = _append_map_points(
-        state.map_surf, state.map_surf_valid, state.map_surf_n,
-        sw, ok_s, caps.map_surf,
+    ms, ms_val, ns, acc_s, cnt_s, occ_s, lr_s, dst_s, ok_s = (
+        _incremental_centroid_update(
+            state.map_surf, state.map_surf_valid, state.map_surf_n,
+            state.map_surf_accum, state.map_surf_cnt,
+            state.leaf_occ_surf, state.leaf_row_surf,
+            sw, s_val, params.mappingSurfLeafSize, caps.map_surf,
+        )
     )
     return state._replace(
         map_corner=mc, map_corner_valid=mc_val, map_corner_n=nc,
         map_surf=ms, map_surf_valid=ms_val, map_surf_n=ns,
+        map_corner_accum=acc_c, map_corner_cnt=cnt_c,
+        map_surf_accum=acc_s, map_surf_cnt=cnt_s,
         leaf_occ_corner=occ_c, leaf_occ_surf=occ_s,
+        leaf_row_corner=lr_c, leaf_row_surf=lr_s,
+        # hash rows hold the first observation's (quantized cell-relative)
+        # position; later centroid motion stays inside the leaf, so
+        # selection error is bounded by the leaf size and the GN
+        # coefficients re-gather the exact refreshed rows by index
         corner_hash=vh.insert(state.corner_hash, cw, ok_c, dst_c),
         surf_hash=vh.insert(state.surf_hash, sw, ok_s, dst_s),
         kf_since_rebuild=state.kf_since_rebuild + 1,
@@ -623,19 +693,33 @@ def _full_map_rebuild(state: LioMapState, caps: LioCaps, params: LioParams,
     )
     if not track_incremental:
         return state
-    occ_c, _ = _claim_new_leaves(
+    occ_c, ok_c, slot_c, _ = _claim_new_leaves(
         jnp.full(caps.corner_leaf_table, -1, jnp.int16), mc, mc_val,
         params.mappingCornerLeafSize,
     )
-    occ_s, _ = _claim_new_leaves(
+    occ_s, ok_s, slot_s, _ = _claim_new_leaves(
         jnp.full(caps.surf_leaf_table, -1, jnp.int16), ms, ms_val,
         params.mappingSurfLeafSize,
     )
+    # rebuilt rows restart their running centroids at weight 1 (the rebuild
+    # already centroided the keyframe union); leaf->row maps point at the
+    # compacted rows (voxel_downsample emits valid rows front-compacted)
+    lr_c = jnp.full(caps.corner_leaf_table, -1, jnp.int32).at[
+        jnp.where(ok_c, slot_c, caps.corner_leaf_table)
+    ].set(jnp.arange(caps.map_corner), mode="drop")
+    lr_s = jnp.full(caps.surf_leaf_table, -1, jnp.int32).at[
+        jnp.where(ok_s, slot_s, caps.surf_leaf_table)
+    ].set(jnp.arange(caps.map_surf), mode="drop")
     return state._replace(
         map_corner_n=jnp.sum(mc_val.astype(jnp.int32)),
         map_surf_n=jnp.sum(ms_val.astype(jnp.int32)),
         kf_since_rebuild=jnp.int32(0),
         leaf_occ_corner=occ_c, leaf_occ_surf=occ_s,
+        leaf_row_corner=lr_c, leaf_row_surf=lr_s,
+        map_corner_accum=jnp.where(mc_val[:, None], mc, 0.0),
+        map_corner_cnt=mc_val.astype(state.map_corner_cnt.dtype),
+        map_surf_accum=jnp.where(ms_val[:, None], ms, 0.0),
+        map_surf_cnt=ms_val.astype(state.map_surf_cnt.dtype),
     )
 
 
