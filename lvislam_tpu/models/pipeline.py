@@ -97,6 +97,27 @@ def _scan_glue(
     return fusion2, summary
 
 
+def _np_qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def _np_qconj(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]])
+
+
+def _np_qrot(q, v):
+    w, u = q[0], q[1:4]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
 @dataclasses.dataclass
 class LviConfig:
     lio: LioConfig = dataclasses.field(default_factory=LioConfig)
@@ -114,9 +135,13 @@ class LviConfig:
     depth_cloud_slots: int = 12
     depth_cloud_points: int = 4096
     use_loop_detector: bool = True
-    # path to a trained BoW vocabulary (`brief.save_vocabulary` file, see
-    # scripts/train_vocab.py); None = seeded random vocabulary
-    vocab_path: str | None = None
+    # trained BoW vocabulary (`brief.save_vocabulary` file, see
+    # scripts/train_vocab.py). "auto" (the default) loads the committed
+    # `configs/brief_vocab.npz` when present — the reference loads its
+    # trained binary vocabulary at startup the same way
+    # (`pose_graph_node.cpp:297-314`). An explicit None opts out to the
+    # seeded random-projection vocabulary.
+    vocab_path: str | None = "auto"
     # Mapping-rate throttle (`mapOptimization.cpp:312`, params_lidar.yaml
     # `mappingProcessInterval: 0.15`): scans arriving closer than this to
     # the last PROCESSED scan are dropped before the LIS — the reference's
@@ -131,6 +156,14 @@ class LviConfig:
     # rolling-shutter readout time per frame, seconds (params_camera.yaml
     # `rolling_shutter_tr`; 0 = global shutter — the shipped rig's value)
     rolling_shutter_tr: float = 0.0
+    # IMU-rate fused odometry output stream (the reference's `odometry/imu`,
+    # published per IMU sample by TransformFusion: latest map odometry ∘
+    # IMU-incremental delta, `imuPreintegration.cpp:22-151,479-549`). When
+    # on, every processed scan emits the inter-correction window's
+    # per-sample poses into `LviSystem.imu_rate_odom` as
+    # (stamp, pos(3), quat_wxyz(4)) rows — host-side numpy propagation of
+    # the latest optimized fusion state (zero device RPCs).
+    emit_imu_rate_odom: bool = True
     metrics_path: str | None = None  # JSONL per-stage metrics (SURVEY.md §5)
     # debug observability (V16): when set, drop feature/depth overlay PPMs
     # every `debug_every` frames and a match image per visual loop
@@ -174,10 +207,16 @@ class LviSystem:
             qic=jnp.array(cfg.qic, jnp.float32),
         ))
         vocab = idf = None
-        if cfg.vocab_path:  # trained BoW vocabulary (pose_graph_node.cpp:297-314)
+        vocab_path = cfg.vocab_path
+        if vocab_path == "auto":  # default: the committed trained vocab
+            import pathlib
+
+            p = pathlib.Path(__file__).resolve().parents[2] / "configs" / "brief_vocab.npz"
+            vocab_path = str(p) if p.exists() else None
+        if vocab_path:  # trained BoW vocabulary (pose_graph_node.cpp:297-314)
             from ..ops import brief as _brief
 
-            vocab, idf = _brief.load_vocabulary(cfg.vocab_path)
+            vocab, idf = _brief.load_vocabulary(vocab_path)
         self.loop_db = ld.db_init(cfg.loop_caps, vocab=vocab, idf=idf)
         self._dbg_kf_imgs: dict = {}  # debug_dir: slot -> u8 image
 
@@ -241,6 +280,11 @@ class LviSystem:
         self.vins_odom = None  # latest VIS imu-propagate (for LIS guess)
         self.last_gps = None  # latest map-frame GPS fix (stamp, pos, noise, use_elev)
         self.lio_odoms: list[tuple] = []  # (stamp, trans, quat) of LIS fused odom
+        # IMU-rate fused odometry output (`odometry/imu`): rows of
+        # (stamp, pos(3) f32, quat_wxyz(4) f32), appended per IMU sample of
+        # every processed scan's inter-correction window
+        self.imu_rate_odom: list[tuple] = []
+        self._last_fused = None  # fused state + map pose at the last scan
         self.pending_loop = None
         self.trajectory: list[tuple] = []
         self.vio_frames = 0
@@ -410,7 +454,10 @@ class LviSystem:
         row = rp.pack_scan_event(
             self._replay_statics, scan_buf, do_depth, guess, glue,
         )
-        self._push_event(rp.KIND_SCAN, stamp, row)
+        # the glue window rides in the host-side meta so the drain can emit
+        # the IMU-rate fused odometry without re-windowing stale buffers
+        self._push_event(rp.KIND_SCAN, stamp, row,
+                         extra=glue if self.cfg.emit_imu_rate_odom else None)
 
     def _stage_frame(self, stamp, msg):
         from . import replay as rp
@@ -438,9 +485,9 @@ class LviSystem:
         self._replay_last_frame_t = stamp
         self._push_event(rp.KIND_FRAME, stamp, row)
 
-    def _push_event(self, kind, stamp, row):
+    def _push_event(self, kind, stamp, row, extra=None):
         self._ev_rows.append(row)
-        self._ev_meta.append((kind, stamp))
+        self._ev_meta.append((kind, stamp, extra))
         if len(self._ev_rows) >= self.cfg.replay_batch:
             self._ship_events()
 
@@ -461,7 +508,7 @@ class LviSystem:
         self._ev_rows, self._ev_meta = [], []
         while len(rows) < self.cfg.replay_batch:
             rows.append(rp.pack_noop_event(self._replay_statics))
-            meta.append((rp.KIND_NOOP, 0.0))
+            meta.append((rp.KIND_NOOP, 0.0, None))
         if self._rp_worker is None:
             self._rp_q = queue.Queue()
             self._rp_results = queue.Queue()
@@ -532,8 +579,12 @@ class LviSystem:
         from . import replay as rp
 
         lost_init = False
-        for (kind, stamp), row in zip(meta, o):
+        for (kind, stamp, extra), row in zip(meta, o):
             if kind == rp.KIND_SCAN:
+                if extra is not None:
+                    dts, accs, gyrs, n = extra
+                    self._emit_imu_rate(dts, accs, gyrs, n)
+                self._update_last_fused(stamp, row[1:27])
                 self.trajectory.append((stamp, row[1:7]))
             elif kind == rp.KIND_FRAME:
                 self._td = float(row[1 + rp._SCAN_OUT + 16])
@@ -575,8 +626,12 @@ class LviSystem:
                 meta, o = self._rp_results.get(block=False)
             except queue.Empty:
                 break
-            for (kind, stamp), row in zip(meta, o):
+            for (kind, stamp, extra), row in zip(meta, o):
                 if kind == rp.KIND_SCAN:
+                    if extra is not None:
+                        dts, accs, gyrs, n = extra
+                        self._emit_imu_rate(dts, accs, gyrs, n)
+                    self._update_last_fused(stamp, row[1:27])
                     self.trajectory.append((stamp, row[1:7]))
                 elif kind == rp.KIND_FRAME:
                     self._td = float(row[1 + rp._SCAN_OUT + 16])
@@ -662,6 +717,11 @@ class LviSystem:
             self.lio.state.kf_count, jnp.asarray(gbuf), self.cfg.fusion,
         )
         s = np.asarray(summary)  # the one per-scan readback
+        # IMU-rate fused odometry for this inter-correction window, from the
+        # PREVIOUS corrected state (TransformFusion) — then refresh the base
+        if self.cfg.emit_imu_rate_odom:
+            self._emit_imu_rate(dts, accs, gyrs, n)
+        self._update_last_fused(stamp, s)
         # exchange 3: fused odometry stream for VIS initialization
         self.lio_odoms.append((
             stamp, s[6:9], s[9:13], s[13:16], s[16:19], s[19:22], int(s[22]),
@@ -677,6 +737,60 @@ class LviSystem:
         ):
             self._accumulate_depth_cloud(stamp, out, kf_count=int(s[24]))
         self.trajectory.append((stamp, s[0:6]))
+
+    def _emit_imu_rate(self, dts, accs, gyrs, n):
+        """Emit the IMU-rate fused odometry for one inter-correction window
+        (`TransformFusion::imuOdometryHandler`, `imuPreintegration.cpp:
+        22-151`, fed by the `imuHandler` predict stream `:479-549`): the
+        latest optimized fusion state is dead-reckoned through the window's
+        lidar-frame IMU samples and each sample's incremental motion is
+        composed onto the latest map odometry —
+        pose(t) = T_map(t_k) ∘ (T_fus(t_k)⁻¹ ∘ T_prop(t)). Repropagation on
+        bias update is implicit: the propagation base is the CORRECTED
+        state, matching the reference's post-correction repropagate
+        (`:429-456`)."""
+        lf = self._last_fused
+        if lf is None or n == 0:
+            return
+        from ..ops import preintegration as _pre
+        from scipy.spatial.transform import Rotation as _R
+
+        G = np.array([0.0, 0.0, -self.cfg.fusion.imuGravity])
+        ps, qs, _ = _pre.predict_imu_rate_np(
+            lf["pos"], lf["quat"], lf["vel"], lf["ba"], lf["bg"],
+            dts[:n], accs[:n], gyrs[:n], G,
+        )
+        x6 = lf["x6"]
+        q_map = np.roll(_R.from_euler("ZYX", [x6[2], x6[1], x6[0]]).as_quat(), 1)
+        t_map = np.asarray(x6[3:6], np.float64)
+        q0c = _np_qconj(np.asarray(lf["quat"], np.float64)
+                        / np.linalg.norm(lf["quat"]))
+        p0 = np.asarray(lf["pos"], np.float64)
+        times = lf["stamp"] + np.cumsum(np.asarray(dts[:n], np.float64))
+        for k in range(n):
+            dp = _np_qrot(q0c, ps[k] - p0)
+            dq = _np_qmul(q0c, qs[k])
+            pos = t_map + _np_qrot(q_map, dp)
+            quat = _np_qmul(q_map, dq)
+            quat = quat / np.linalg.norm(quat)
+            self.imu_rate_odom.append(
+                (float(times[k]), pos.astype(np.float32),
+                 quat.astype(np.float32))
+            )
+
+    def _update_last_fused(self, stamp, s26):
+        """Cache the fused state + map pose from a 26-float `_scan_glue`
+        summary; clears on fusion reset so the high-rate stream pauses
+        until re-initialization (the reference's reset protocol,
+        `imuPreintegration.cpp:462-477`)."""
+        if s26[25] > 0.5 and np.isfinite(s26[:22]).all():
+            self._last_fused = dict(
+                stamp=float(stamp), x6=np.asarray(s26[0:6], np.float64),
+                pos=s26[6:9], quat=s26[9:13], vel=s26[13:16],
+                ba=s26[16:19], bg=s26[19:22],
+            )
+        else:
+            self._last_fused = None
 
     def _accumulate_depth_cloud(self, stamp, out, kf_count: int | None = None):
         """`lidar_callback` (`feature_tracker_node.cpp:273-377`): downsample

@@ -494,3 +494,67 @@ def navstate_predict_np(pos, quat, vel, ba, bg, dts, accs, gyrs, gravity_vec):
         q = q_new
         pa, pg = accs[k], gyrs[k]
     return p, q, v
+
+
+def predict_imu_rate_np(pos, quat, vel, ba, bg, dts, accs, gyrs, gravity_vec):
+    """Per-sample variant of `navstate_predict_np`: the IMU-rate odometry
+    stream (`imuPreintegration.cpp:479-549` `imuHandler` predict). Same
+    midpoint recursion, but returns the FULL per-sample history
+    (ps (N,3), qs (N,4) wxyz normalized, vs (N,3)) as float64 numpy — one
+    row per input sample, including zero-dt pad rows (which repeat the
+    previous state). Host-side on purpose: emitting a 200-500 Hz stream
+    through per-sample device RPCs would be a tunnel-latency storm."""
+    import numpy as _np
+
+    p = _np.asarray(pos, _np.float64).copy()
+    q = _np.asarray(quat, _np.float64).copy()
+    q = q / _np.linalg.norm(q)
+    v = _np.asarray(vel, _np.float64).copy()
+    ba = _np.asarray(ba, _np.float64)
+    bg = _np.asarray(bg, _np.float64)
+    g = _np.asarray(gravity_vec, _np.float64)
+    dts = _np.asarray(dts, _np.float64)
+    accs = _np.asarray(accs, _np.float64)
+    gyrs = _np.asarray(gyrs, _np.float64)
+
+    def rot(qq, x):
+        w, xx, yy, zz = qq
+        R = _np.array([
+            [1 - 2 * (yy * yy + zz * zz), 2 * (xx * yy - w * zz), 2 * (xx * zz + w * yy)],
+            [2 * (xx * yy + w * zz), 1 - 2 * (xx * xx + zz * zz), 2 * (yy * zz - w * xx)],
+            [2 * (xx * zz - w * yy), 2 * (yy * zz + w * xx), 1 - 2 * (xx * xx + yy * yy)],
+        ])
+        return R @ x
+
+    def qmul(a, b):
+        aw, ax, ay, az = a
+        bw, bx, by, bz = b
+        return _np.array([
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ])
+
+    n = len(dts)
+    ps = _np.zeros((n, 3))
+    qs = _np.zeros((n, 4))
+    vs = _np.zeros((n, 3))
+    pa = accs[0] if len(accs) else _np.zeros(3)
+    pg = gyrs[0] if len(gyrs) else _np.zeros(3)
+    for k in range(n):
+        dt = dts[k]
+        if dt > 0:
+            un_gyr = 0.5 * (pg + gyrs[k]) - bg
+            dq = _np.concatenate([[1.0], un_gyr * dt * 0.5])
+            q_new = qmul(q, dq)
+            q_new = q_new / _np.linalg.norm(q_new)
+            a0 = rot(q, pa - ba) + g
+            a1 = rot(q_new, accs[k] - ba) + g
+            un_acc = 0.5 * (a0 + a1)
+            p = p + v * dt + 0.5 * un_acc * dt * dt
+            v = v + un_acc * dt
+            q = q_new
+        ps[k], qs[k], vs[k] = p, q, v
+        pa, pg = accs[k], gyrs[k]
+    return ps, qs, vs

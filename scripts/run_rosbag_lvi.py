@@ -144,9 +144,9 @@ def main():
                             if vin.rolling_shutter else 0.0),
         use_loop_detector=not args.no_camera and vin.loop_closure,
         mapping_process_interval=lid.mappingProcessInterval,
-        # trained BoW vocabulary (pose_graph_node.cpp:297-314)
-        vocab_path=("configs/brief_vocab.npz"
-                    if os.path.exists("configs/brief_vocab.npz") else None),
+        # vocab_path defaults to "auto": the committed trained vocabulary
+        # (configs/brief_vocab.npz) loads wherever the process starts from
+        # (pose_graph_node.cpp:297-314)
     )
     sys_ = LviSystem(cfg)
 

@@ -52,6 +52,7 @@ def main():
     gt = np.stack([traj.pose(np.array([t]))[0][0] for t, _ in sys_.trajectory])
     print(f"duration={d}s wall={wall:.1f}s rtf={d/wall:.2f}x "
           f"ATE={ate_rmse(est, gt):.3f}m scans={len(sys_.trajectory)} "
+          f"imu_rate_odom={len(sys_.imu_rate_odom)} "
           f"vio_init={bool(np.asarray(sys_.vio.initialized))} "
           f"failures={int(sys_.vio.failure_count)}")
 

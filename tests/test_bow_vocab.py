@@ -127,3 +127,29 @@ def test_trained_vocab_beats_random_on_aliased_rooms():
     assert m_t > 0.0, m_t
     # and demonstrably better separation than the random-projection vocab
     assert m_t > m_r + 0.01, (m_t, m_r)
+
+
+@pytest.mark.smoke
+def test_trained_vocab_is_the_product_default():
+    """`LviConfig.vocab_path="auto"` loads the committed trained vocabulary
+    (configs/brief_vocab.npz) in every LviSystem by default — the random
+    projection vocab is reachable only by explicit opt-out (VERDICT r3 #7;
+    reference loads its vocabulary at startup, pose_graph_node.cpp:297-314).
+    """
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_lvi_system import make_system
+
+    s = make_system()
+    idf = np.asarray(s.loop_db.idf)
+    assert not np.allclose(idf, idf[0]), "default LviSystem should carry the trained (non-uniform idf) vocab"
+
+    # explicit opt-out returns the seeded random vocabulary
+    import dataclasses as _dc
+
+    from lvislam_tpu.models import pipeline as lvi
+
+    s2 = lvi.LviSystem(_dc.replace(s.cfg, vocab_path=None))
+    idf2 = np.asarray(s2.loop_db.idf)
+    assert np.allclose(idf2, 1.0)

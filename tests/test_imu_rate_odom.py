@@ -1,0 +1,106 @@
+"""IMU-rate fused odometry output stream (the reference's `odometry/imu`:
+`TransformFusion::imuOdometryHandler` composing the latest map odometry with
+the IMU-incremental delta, `imuPreintegration.cpp:22-151`, fed by the
+`imuHandler` predict stream `:479-549`)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as Rsc
+
+from lvislam_tpu.models.lio import imu_fusion as fus
+from lvislam_tpu.ops import preintegration as pre
+from lvislam_tpu.utils import synthetic as syn
+
+
+@pytest.mark.smoke
+def test_predict_imu_rate_np_matches_jitted():
+    """The host-side per-sample propagator is the same recursion as the
+    jitted `predict_imu_rate` (`imuHandler`, `imuPreintegration.cpp:
+    494-499`)."""
+    rng = np.random.default_rng(0)
+    n = 24
+    dts = np.full(n, 0.005, np.float32)
+    accs = rng.normal(0, 1, (n, 3)).astype(np.float32) + [0, 0, 9.8]
+    gyrs = rng.normal(0, 0.3, (n, 3)).astype(np.float32)
+    params = fus.FusionParams()
+    st = fus.fusion_init(params)._replace(
+        pos=jnp.array([1.0, -2.0, 0.5]),
+        quat=jnp.asarray(np.roll(Rsc.from_euler("ZYX", [0.3, -0.1, 0.2]).as_quat(), 1), jnp.float32),
+        vel=jnp.array([0.5, 0.0, -0.2]),
+        ba=jnp.array([0.01, -0.02, 0.005]),
+        bg=jnp.array([0.002, 0.001, -0.003]),
+    )
+    ps_j, qs_j, vs_j = fus.predict_imu_rate(
+        st, jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs), params)
+    G = np.array([0.0, 0.0, -params.imuGravity])
+    ps_n, qs_n, vs_n = pre.predict_imu_rate_np(
+        np.asarray(st.pos), np.asarray(st.quat), np.asarray(st.vel),
+        np.asarray(st.ba), np.asarray(st.bg), dts, accs, gyrs, G)
+    np.testing.assert_allclose(np.asarray(ps_j), ps_n, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vs_j), vs_n, atol=2e-4)
+    # quaternion sign-insensitive comparison
+    dot = np.abs(np.sum(np.asarray(qs_j) * qs_n, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+
+@pytest.mark.smoke
+def test_imu_rate_stream_continuous_and_consistent():
+    """Replay a short LIO-only sequence and check the emitted high-rate
+    stream: monotone stamps, continuity ACROSS scan corrections (the
+    correction jump is the map-pose innovation, bounded for a healthy
+    replay), and per-window consistency with the per-scan map poses."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lvi_system import make_system
+
+    sys_ = make_system()
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+    dur = 2.0
+    imu_ts = (np.arange(int(dur * 200)) + 1) / 200
+    w_all, f_all = traj.imu(imu_ts)
+    for i, t in enumerate(imu_ts):
+        _, R = traj.pose(np.array([t]))
+        rpy = Rsc.from_matrix(R[0]).as_euler("ZYX")[::-1]
+        sys_.feed_imu(t, w_all[i], f_all[i], rpy=np.array(rpy, np.float32))
+    for i in range(int(dur * 10) - 1):
+        ts = 0.05 + i / 10
+        sys_.feed_lidar(ts, syn.simulate_lidar_scan(
+            world, traj, ts, n_scan=4, horizon=900, sweep_time=0.1))
+    sys_.run()
+
+    stream = sys_.imu_rate_odom
+    n_scans = len(sys_.trajectory)
+    assert n_scans >= 10
+    # high-rate: ~20 samples per 0.1 s scan period, emitted from scan 2 on
+    # (the first correction initializes the fusion; windows after it emit)
+    assert len(stream) > 10 * (n_scans - 2)
+    ts = np.array([r[0] for r in stream])
+    assert (np.diff(ts) > 0).all(), "stamps must be strictly increasing"
+    pos = np.stack([r[1] for r in stream])
+    assert np.isfinite(pos).all()
+
+    # continuity: every consecutive pair (including across corrections,
+    # where the map-pose innovation lands) moves a bounded distance
+    step = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    assert step.max() < 0.10, f"stream jump {step.max():.3f} m"
+
+    # consistency with the per-scan map poses: the first emitted sample of
+    # the window after scan k sits on scan k's map pose (plus <=5 ms of
+    # IMU propagation)
+    traj_t = np.array([t for t, _ in sys_.trajectory])
+    traj_p = np.stack([np.asarray(x6[3:6]) for _, x6 in sys_.trajectory])
+    checked = 0
+    for k in range(1, n_scans - 1):
+        j = np.searchsorted(ts, traj_t[k] + 1e-9)
+        if j < len(ts) and ts[j] < traj_t[k] + 0.05:
+            d = np.linalg.norm(pos[j] - traj_p[k])
+            assert d < 0.05, f"scan {k}: high-rate vs map pose {d:.3f} m"
+            checked += 1
+    assert checked >= n_scans - 4
+
+    # quaternions are unit-norm
+    qn = np.linalg.norm(np.stack([r[2] for r in stream]), axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-5)
