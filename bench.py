@@ -337,11 +337,13 @@ def _lvi_section(out):
 
     on_tpu = jax.default_backend() != "cpu"
 
-    def build_system():
+    def build_system(pallas: bool, knobs: bool = True):
         import dataclasses as dc
 
-        s = make_system(pallas=on_tpu)
+        s = make_system(pallas=pallas)
         s.cfg.replay_batch = 16
+        if not knobs:
+            return s
         # the reference's own real-time lever: scan-to-map throttled to
         # >=0.15 s between solves (`mapOptimization.cpp:312`, the shipped
         # params_lidar.yaml value) — at 10 Hz lidar the LIS maps at 5 Hz
@@ -351,11 +353,11 @@ def _lvi_section(out):
         s.cfg.ba = dc.replace(s.cfg.ba, solver="schur")
         s.cfg.lio.params = dc.replace(
             s.cfg.lio.params, nnRefreshEvery=2, mapRebuildEvery=8,
-            gatherOncePerScan=on_tpu,  # needs the pallas query tail
+            gatherOncePerScan=pallas,  # needs the pallas query tail
         )
         return s
 
-    sys_ = build_system()
+    sys_ = build_system(pallas=on_tpu)
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0
@@ -407,25 +409,35 @@ def _lvi_section(out):
     out["lvi_vio_initialized"] = bool(sys_._vio_initialized)
     out["lvi_replay_active"] = sys_._replay_statics is not None
 
-    # full-LVI CPU-parity anchor (BASELINE gate: TPU ATE within 5% of the
-    # identical CPU-backend replay) — mirrors the LIO section's
-    # ate_cpu_ref_m / ate_vs_cpu_ref_pct
+    # full-LVI CPU-parity anchors (BASELINE gate: TPU ATE within 5% of the
+    # identical CPU-backend replay). Apples-to-apples: the primary CPU
+    # reference runs the SAME perf-knob set as the TPU replay (schur,
+    # nnRefreshEvery, mapRebuildEvery, throttle; gatherOncePerScan is the
+    # pallas-only query tail), so lvi_ate_vs_cpu_ref_pct isolates
+    # backend/Pallas numerics. A second exact-knob CPU anchor
+    # (lvi_ate_cpu_exact_m) quantifies the knobs' own accuracy cost.
     if on_tpu:
         cpu0 = jax.devices("cpu")[0]
-        with jax.default_device(cpu0):
-            sys_cpu = make_system(pallas=False)
-            sys_cpu.cfg.replay_batch = 16
-            sys_cpu.cfg.mapping_process_interval = 0.15
-            feed(sys_cpu, 0.0, d)
-            sys_cpu.run()
-        est_cpu = np.stack([x6[3:6] for _, x6 in sys_cpu.trajectory])
-        gt_cpu = np.stack([traj.pose(np.array([t]))[0][0]
-                           for t, _ in sys_cpu.trajectory])
-        ate_cpu = float(ate_rmse(est_cpu, gt_cpu, align=True))
+
+        def cpu_ate(knobs: bool) -> float:
+            with jax.default_device(cpu0):
+                sc = build_system(pallas=False, knobs=knobs)
+                feed(sc, 0.0, d)
+                sc.run()
+            est_c = np.stack([x6[3:6] for _, x6 in sc.trajectory])
+            gt_c = np.stack([traj.pose(np.array([t]))[0][0]
+                             for t, _ in sc.trajectory])
+            return float(ate_rmse(est_c, gt_c, align=True))
+
+        ate_cpu = cpu_ate(knobs=True)
         out["lvi_ate_cpu_ref_m"] = round(ate_cpu, 4)
         # SIGNED like ate_vs_cpu_ref_pct: pass iff <= +5
         out["lvi_ate_vs_cpu_ref_pct"] = round(
             100.0 * (ate - ate_cpu) / max(ate_cpu, 1e-9), 2)
+        ate_exact = cpu_ate(knobs=False)
+        out["lvi_ate_cpu_exact_m"] = round(ate_exact, 4)
+        out["lvi_knob_cost_pct"] = round(
+            100.0 * (ate_cpu - ate_exact) / max(ate_exact, 1e-9), 2)
 
 
 def main():
