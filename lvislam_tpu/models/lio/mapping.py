@@ -190,6 +190,20 @@ class LioMapState(NamedTuple):
     # `_add_keyframe`)
     pose_cov_xy: jax.Array  # ()
     yaw_var: jax.Array  # () accumulated yaw variance (leverage term)
+    # yaw-position cross-covariance magnitude: successive hops share the
+    # SAME yaw error, so lateral variance grows quadratically with distance
+    # from the last absolute fix (d^2 * yaw_var), not linearly per hop —
+    # validated against the exact dense marginal in tests/test_gps.py
+    pose_cov_cross: jax.Array  # ()
+    # per-keyframe snapshots of (cov_xy, yaw_var, cross) at insertion time:
+    # a loop factor re-anchors the newest pose to an old keyframe, so its
+    # marginal collapses to ~the anchor's snapshot + the ICP noise
+    # (`_loop_icp`). Snapshots go stale-high after later GPS/loop
+    # corrections tighten the graph — conservative (admits GPS early, the
+    # safe direction for the reference's need gate)
+    kf_cov_xy: jax.Array  # (K,)
+    kf_yaw_var: jax.Array  # (K,)
+    kf_cov_cross: jax.Array  # (K,)
     # cached assembled local map (the reference's laserCloudMapContainer +
     # *FromMapDS, rebuilt on keyframe insertion / loop correction instead of
     # per scan — identical content, since the keyframe set only changes then)
@@ -266,6 +280,10 @@ def lio_init(caps: LioCaps, dtype=jnp.float32) -> LioMapState:
         # 1418`) — absolute x/y covariance is huge until the first GPS fix
         pose_cov_xy=jnp.asarray(1e8, dtype),
         yaw_var=jnp.asarray(9.8696044, dtype),  # prior yaw var (pi^2)
+        pose_cov_cross=jnp.asarray(0.0, dtype),
+        kf_cov_xy=jnp.full(caps.max_keyframes, 1e8, dtype),
+        kf_yaw_var=jnp.full(caps.max_keyframes, 9.8696044, dtype),
+        kf_cov_cross=jnp.zeros(caps.max_keyframes, dtype),
         map_corner=jnp.zeros((caps.map_corner, 3), dtype),
         map_corner_valid=jnp.zeros(caps.map_corner, bool),
         map_surf=jnp.zeros((caps.map_surf, 3), dtype),
@@ -522,23 +540,41 @@ def _add_keyframe(state: LioMapState, feats: FeatureResult, caps: LioCaps,
         node_valid=g.node_valid.at[k].set(True),
     )
 
-    # first-order propagation of the newest pose's x/y marginal covariance
-    # (the iSAM marginal the reference gates GPS on): each odometry hop adds
-    # the odom position variance plus the yaw-uncertainty leverage over the
-    # step length; yaw variance itself accumulates the odom rotation
-    # variance. Variances from `mapOptimization.cpp:1422` (1e-6 rad^2,
-    # 1e-4 m^2). GPS factors collapse it back (`_add_gps_factor_impl`).
-    step2 = jnp.sum((t - state.kf_trans[jnp.maximum(k - 1, 0)]) ** 2)
+    # first-order propagation of the newest pose's worst-axis x/y marginal
+    # variance (the iSAM marginal the reference gates GPS on — it skips GPS
+    # only while BOTH (3,3) and (4,4) are below threshold,
+    # `mapOptimization.cpp:1437-1445`, so the max axis is the gate
+    # quantity). Successive hops share the same yaw error at the last
+    # absolute fix, so lateral variance grows QUADRATICALLY with travelled
+    # distance: track the yaw-position cross term c and propagate
+    #   cov <- cov + odom_var + 2*step*c + step^2*yaw_var,  c <- c + step*yaw_var
+    # which telescopes to d^2*yaw_var for straight-line motion — validated
+    # against the exact dense marginal (`posegraph.dense_marginal_covariance`)
+    # in tests/test_gps.py. Odometry variances from `mapOptimization.cpp:
+    # 1422` (1e-6 rad^2, 1e-4 m^2). GPS factors collapse cov and c back
+    # (`_add_gps_factor_impl`).
+    step = jnp.sqrt(jnp.sum((t - state.kf_trans[jnp.maximum(k - 1, 0)]) ** 2))
     yaw_var2 = jnp.where(k == 0, state.yaw_var, state.yaw_var + 1e-6)
+    cross2 = jnp.where(
+        k == 0, state.pose_cov_cross,
+        state.pose_cov_cross + step * yaw_var2,
+    )
     cov2 = jnp.where(
         k == 0, state.pose_cov_xy,
-        state.pose_cov_xy + 1e-4 + step2 * yaw_var2,
+        state.pose_cov_xy + 1e-4
+        + 2.0 * step * state.pose_cov_cross + step**2 * yaw_var2,
     )
 
+    cov2 = jnp.minimum(cov2, 1e8)
+    cross2 = jnp.minimum(cross2, 1e8)
     return state._replace(
         graph=g,
-        pose_cov_xy=jnp.minimum(cov2, 1e8),
+        pose_cov_xy=cov2,
         yaw_var=yaw_var2,
+        pose_cov_cross=cross2,
+        kf_cov_xy=state.kf_cov_xy.at[k].set(cov2),
+        kf_yaw_var=state.kf_yaw_var.at[k].set(yaw_var2),
+        kf_cov_cross=state.kf_cov_cross.at[k].set(cross2),
         kf_trans=state.kf_trans.at[k].set(t),
         kf_quat=state.kf_quat.at[k].set(q),
         kf_time=state.kf_time.at[k].set(scan_time),
@@ -912,10 +948,12 @@ def _add_gps_factor_impl(
             up_valid=g.up_valid.at[slot].set(True),
         )
         # the applied factor collapses the newest pose's x/y marginal to
-        # ~the GPS noise; a PAIR of fixes separated by d also constrains
-        # yaw to ~2*var/d^2 (the mechanism by which iSAM's marginals keep
-        # shrinking as fixes accumulate)
-        xy_var = 0.5 * (noise[0] + noise[1])
+        # ~the GPS noise (worst axis — the gate reads (3,3)/(4,4)
+        # individually) and decorrelates it from yaw (cross -> 0); a PAIR
+        # of fixes separated by d also constrains yaw to ~2*var/d^2 (the
+        # mechanism by which iSAM's marginals keep shrinking as fixes
+        # accumulate)
+        xy_var = jnp.maximum(noise[0], noise[1])
         d2 = jnp.sum((pos - state.last_gps_pos) ** 2)
         yaw2 = jnp.where(
             state.has_gps,
@@ -927,6 +965,11 @@ def _add_gps_factor_impl(
             last_gps_pos=pos, has_gps=jnp.array(True),
             n_gps=state.n_gps + 1,
             pose_cov_xy=xy_var, yaw_var=yaw2,
+            pose_cov_cross=jnp.zeros_like(state.pose_cov_cross),
+            # refresh the newest keyframe's snapshot (the fix lands on it)
+            kf_cov_xy=state.kf_cov_xy.at[k].set(xy_var),
+            kf_yaw_var=state.kf_yaw_var.at[k].set(yaw2),
+            kf_cov_cross=state.kf_cov_cross.at[k].set(0.0),
         )
 
     return jax.lax.cond(ok & (~g.up_valid[slot]), add, lambda s: s, state)
@@ -1042,11 +1085,31 @@ def _loop_icp(state: LioMapState, cur, cand, caps: LioCaps, params: LioParams):
                 bf_sqrtw=g.bf_sqrtw.at[f].set(sqrtw),
                 bf_valid=g.bf_valid.at[f].set(True),
             )
+            # the loop re-anchors `cur` to `cand`: the newest pose's
+            # marginal collapses to ~the anchor keyframe's snapshot + the
+            # ICP noise + the yaw leverage over the relative baseline
+            # (|t_rel|^2 * yaw — for a genuine revisit t_rel is small and
+            # the lever vanishes; validated against the exact dense
+            # marginal in tests/test_gps.py; matches iSAM's marginal drop
+            # after the loop factor, `mapOptimization.cpp:1437-1445`)
+            yaw_l = jnp.minimum(
+                state.yaw_var, state.kf_yaw_var[cand] + noise)
+            lever2 = jnp.sum(ti**2)
+            cov_l = jnp.minimum(
+                state.pose_cov_xy,
+                state.kf_cov_xy[cand] + noise + lever2 * yaw_l)
+            cross_l = jnp.minimum(
+                state.pose_cov_cross,
+                state.kf_cov_cross[cand] + jnp.sqrt(lever2) * yaw_l)
             return state._replace(
                 graph=g,
                 n_loops=state.n_loops + 1,
                 loop_pending=jnp.array(True),
                 last_loop_kf=cur,
+                pose_cov_xy=cov_l, yaw_var=yaw_l, pose_cov_cross=cross_l,
+                kf_cov_xy=state.kf_cov_xy.at[cur].set(cov_l),
+                kf_yaw_var=state.kf_yaw_var.at[cur].set(yaw_l),
+                kf_cov_cross=state.kf_cov_cross.at[cur].set(cross_l),
             )
 
         state = jax.lax.cond(

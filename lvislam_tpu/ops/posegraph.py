@@ -277,3 +277,58 @@ def total_error(g: PoseGraph) -> jax.Array:
     return (
         jnp.sum(lin.bf_r**2) + jnp.sum(lin.up_r**2) + jnp.sum(lin.pr_r**2)
     )
+
+
+def dense_information(g: PoseGraph):
+    """EXACT dense Gauss-Newton information matrix H = J^T J (6K, 6K) over
+    ALL factor blocks (prior + between + unary), per-node layout
+    [rot(3), trans(3)]. This is the normal-equations matrix whose inverse
+    block is the reference's `isam->marginalCovariance(key)`
+    (`mapOptimization.cpp:1437-1445`). O(F·(6K)^2) build + O((6K)^3)
+    inverse: validation-scale only — the product path gates GPS on the
+    O(1) first-order proxy (`mapping._add_keyframe` `pose_cov_xy`), which
+    tests/test_gps.py validates against this exact marginal. Returned as
+    float64 numpy (the prior's 1e8 free-position variance makes the
+    inverse ill-conditioned in float32). Invalid (unused) node slots are
+    pinned with a unit prior so H stays invertible."""
+    import numpy as _np
+
+    lin = _linearize(g)
+    K = g.trans.shape[0]
+    D = 6 * K
+    H = _np.zeros((D, D))
+
+    bf_J = _np.asarray(lin.bf_J, _np.float64)
+    bf_i = _np.asarray(g.bf_i)
+    bf_j = _np.asarray(g.bf_j)
+    for f in range(bf_J.shape[0]):
+        i, j = int(bf_i[f]), int(bf_j[f])
+        Jf = _np.zeros((6, D))
+        Jf[:, 6 * i:6 * i + 6] += bf_J[f, :, 0:6]
+        Jf[:, 6 * j:6 * j + 6] += bf_J[f, :, 6:12]
+        H += Jf.T @ Jf
+    up_J = _np.asarray(lin.up_J, _np.float64)
+    up_k = _np.asarray(g.up_k)
+    for u in range(up_J.shape[0]):
+        k = int(up_k[u])
+        Ju = _np.zeros((3, D))
+        Ju[:, 6 * k:6 * k + 6] = up_J[u]
+        H += Ju.T @ Ju
+    J0 = _np.zeros((6, D))
+    J0[:, 0:6] = _np.asarray(lin.pr_J, _np.float64)
+    H += J0.T @ J0
+    pin = _np.repeat(~_np.asarray(g.node_valid), 6).astype(_np.float64)
+    H += _np.diag(pin)
+    return H
+
+
+def dense_marginal_covariance(g: PoseGraph, node: int):
+    """Exact (6, 6) marginal covariance of `node` — the dense-inverse
+    equivalent of the reference's marginalCovariance gate read
+    (`mapOptimization.cpp:1437-1445`: entries (3,3)/(4,4) are the x/y
+    position variances, layout [rot(3), trans(3)]). Validation-scale only;
+    see `dense_information`."""
+    import numpy as _np
+
+    cov = _np.linalg.inv(dense_information(g))
+    return cov[6 * node:6 * node + 6, 6 * node:6 * node + 6]

@@ -135,6 +135,109 @@ def test_gps_through_packed_pipeline():
     assert (np.abs(pos[:, 0] - np.round(pos[:, 0])) < 1e-4).all(), pos
 
 
+def test_pose_cov_proxy_tracks_exact_marginal():
+    """VERDICT r3 #6: the O(1) propagated proxy `pose_cov_xy` must track
+    the EXACT newest-pose x/y marginal from the dense normal equations
+    (`posegraph.dense_marginal_covariance` — the reference's
+    `isam->marginalCovariance` gate read, `mapOptimization.cpp:1437-1445`,
+    which skips GPS only while BOTH (3,3) and (4,4) are small, i.e. the
+    max axis is the gate quantity) across three phases:
+
+    - odometry-only: marginal pinned at the prior's free-position 1e8;
+    - post-fix growth: quadratic in distance (shared yaw error at the
+      anchor — the cross-term recursion), exact in the single-fix phase,
+      within a factor 2 in the pair-collapsed phase;
+    - GPS collapse: ~the floored GPS noise;
+    - loop re-anchoring: collapse to the anchor keyframe's snapshot + the
+      loop noise (checked against the exact marginal with the loop factor
+      added)."""
+    from lvislam_tpu.ops import posegraph as pg
+
+    params = mapping.LioParams(livox_keyframe_interval=0.0,
+                               poseCovThreshold=25.0)
+    state = mapping.lio_init(CAPS)
+    feats = _empty_feats()
+    ratios = []
+    for i in range(24):
+        scan = dict(
+            stamp=jnp.float32(0.1 * (i + 1)),
+            imu_available=jnp.array(False),
+            imu_rpy_init=jnp.zeros(3),
+            odom_available=jnp.array(True),
+            odom_trans=jnp.array([float(i + 1), 0.0, 0.0]),
+            odom_quat=jnp.array([1.0, 0, 0, 0]),
+            odom_reset_id=jnp.int32(0),
+            gps_available=jnp.array(True),
+            gps_pos=jnp.array([float(i), 0.0, 0.0]),
+            gps_noise=jnp.full(3, 0.25),
+            gps_use_elevation=jnp.array(False),
+        )
+        state, _ = mapping.map_step(state, scan, feats, CAPS, params)
+        k = int(state.kf_count) - 1
+        cov = pg.dense_marginal_covariance(state.graph, k)
+        exact = max(cov[3, 3], cov[4, 4])
+        ratios.append(float(state.pose_cov_xy) / max(exact, 1e-12))
+    assert int(state.n_gps) >= 2, "chain must reach the pair-collapse phase"
+    ratios = np.asarray(ratios)
+    # stated tracking factor: within 2x of the exact marginal, every phase
+    assert (ratios > 0.5).all() and (ratios < 2.0).all(), ratios
+
+    # --- loop re-anchoring phase: add a loop between-factor from the
+    # newest pose to a tight (just-GPS-fixed) keyframe and compare the
+    # proxy's snapshot-collapse arithmetic to the exact marginal
+    ks = np.asarray(state.graph.up_k[np.asarray(state.graph.up_valid)])
+    cand = int(ks[-1])  # most recent GPS-anchored keyframe
+    cur = int(state.kf_count) - 1
+    assert cur > cand
+    fitness = 0.09  # plausible ICP fitness (m^2 variance scale)
+    g = state.graph
+    f = CAPS.max_keyframes  # first loop slot (after the K-1 odom slots)
+    g = g._replace(
+        bf_i=g.bf_i.at[f].set(cur),
+        bf_j=g.bf_j.at[f].set(cand),
+        bf_trans=g.bf_trans.at[f].set(
+            state.kf_trans[cand] - state.kf_trans[cur]),
+        bf_quat=g.bf_quat.at[f].set(jnp.array([1.0, 0, 0, 0])),
+        bf_sqrtw=g.bf_sqrtw.at[f].set(jnp.full(6, 1.0 / np.sqrt(fitness))),
+        bf_valid=g.bf_valid.at[f].set(True),
+    )
+    def proxy_collapse(t_rel2):
+        # the proxy's `_loop_icp` collapse arithmetic: anchor snapshot +
+        # loop noise + yaw leverage over the relative baseline
+        yaw_l = float(np.minimum(state.yaw_var,
+                                 state.kf_yaw_var[cand] + fitness))
+        return float(np.minimum(
+            state.pose_cov_xy,
+            state.kf_cov_xy[cand] + fitness + t_rel2 * yaw_l))
+
+    cov_l = pg.dense_marginal_covariance(g, cur)
+    exact_loop = max(cov_l[3, 3], cov_l[4, 4])
+    lever2 = float(np.sum(np.asarray(
+        state.kf_trans[cand] - state.kf_trans[cur]) ** 2))
+    r = proxy_collapse(lever2) / max(exact_loop, 1e-12)
+    # LONG-baseline pseudo-loop: the yaw lever dominates — the exact
+    # marginal barely drops and the proxy's lever term must reproduce that
+    # (without it the proxy over-collapsed 14x here)
+    assert 0.3 < r < 3.0, (proxy_collapse(lever2), exact_loop)
+
+    # GENUINE revisit (short baseline): teleport the anchor next to the
+    # newest pose so t_rel ~ 0.1 m — the loop then really collapses the
+    # exact marginal to ~the anchor's, and so must the proxy
+    near = jnp.asarray(state.kf_trans[cur]) + jnp.array([0.1, 0.0, 0.0])
+    g_near = g._replace(
+        trans=g.trans.at[cand].set(near),
+        bf_trans=g.bf_trans.at[f].set(near - state.kf_trans[cur]),
+    )
+    cov_n = pg.dense_marginal_covariance(g_near, cur)
+    exact_near = max(cov_n[3, 3], cov_n[4, 4])
+    proxy_near = proxy_collapse(0.01)
+    assert proxy_near < 0.3 * float(state.pose_cov_xy), \
+        "short-baseline loop must collapse the proxy"
+    assert exact_near < 0.3 * exact_loop, (exact_near, exact_loop)
+    rn = proxy_near / max(exact_near, 1e-12)
+    assert 0.3 < rn < 3.0, (proxy_near, exact_near)
+
+
 def test_gps_covariance_need_gate():
     """The reference only adds GPS while the newest pose's x/y marginal is
     above poseCovThreshold (`mapOptimization.cpp:1437-1445`). The propagated
