@@ -440,6 +440,112 @@ def _lvi_section(out):
             100.0 * (ate_cpu - ate_exact) / max(ate_exact, 1e-9), 2)
 
 
+def _lvi_full_scale_section(out):
+    """BASELINE config 5 at the reference's SHIPPED scale: MEI 1024x576
+    with the rig's mirror/distortion parameters and max_cnt=150
+    (`params_camera.yaml` model_type/mirror_parameters/max_cnt), 4x6000-pt
+    scans (`params_lidar.yaml` N_SCAN/Horizon_SCAN), lidar_skip=3, and the
+    visual loop detector ON with the trained vocabulary — the fused system
+    measured at the scale the per-stage benches already run at. TPU only
+    (the 1-core CPU fallback would take hours)."""
+    import dataclasses as dc
+    import time
+
+    from scipy.spatial.transform import Rotation as Rsc
+
+    import jax
+
+    from lvislam_tpu.core.config import CameraIntrinsics
+    from lvislam_tpu.models import pipeline as lvi
+    from lvislam_tpu.models.lio import mapping
+    from lvislam_tpu.models.vio import estimator as est
+    from lvislam_tpu.models.vio import feature_manager as fm
+    from lvislam_tpu.models.vio import feature_tracker as ft
+    from lvislam_tpu.models.loop import loop_detector as ld
+    from lvislam_tpu.ops import ba
+    from lvislam_tpu.utils import synthetic as syn
+    from lvislam_tpu.utils.metrics import ate_rmse
+
+    on_tpu = jax.default_backend() != "cpu"
+    cam = CameraIntrinsics()  # the shipped MEI 1024x576 rig
+    # cam->body matching render_camera_image's default R_cam_body
+    R_BC = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0],
+                     [1.0, 0.0, 0.0]]).T
+    qic = np.roll(Rsc.from_matrix(R_BC).as_quat(), 1)
+    lio_cfg = _make_cfg(mapping, pallas=on_tpu)  # 4x6000, 24k points
+    lio_cfg.loop_every_n_scans = 10
+    cfg = lvi.LviConfig(
+        lio=lio_cfg,
+        vio_caps=fm.VioCaps(window=10, max_features=150, imu_buf=32,
+                            frame_features=150),
+        vio_params=est.VioParams(g_norm=syn.GRAVITY),
+        ba=ba.BAConfig(window=10, max_features=150, iterations=4,
+                       solver="schur", estimate_td=False,
+                       estimate_extrinsic=False),
+        tracker=ft.TrackerParams(),  # max_cnt=150, min_dist=20, CLAHE on
+        camera=cam,
+        loop_caps=ld.LoopCaps(max_keyframes=128, window_points=150,
+                              extra_points=256, recent_exclude=10,
+                              min_loop_matches=25),
+        image_height=cam.image_height, image_width=cam.image_width,
+        use_lidar_depth=True, lidar_skip=3,  # params_camera.yaml lidar_skip
+        use_loop_detector=True,  # trained vocab auto-loads (vocab_path)
+        mapping_process_interval=0.15,
+        qic=tuple(qic.tolist()),
+    )
+    cfg.replay_batch = 16
+    sys_ = lvi.LviSystem(cfg)
+
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+    warm_s, timed_s = 2.0, 5.0
+    d = warm_s + timed_s
+
+    imu_ts = (np.arange(int(d * 200)) + 1) / 200
+    w_all, f_all = traj.imu(imu_ts)
+    rpys = [Rsc.from_matrix(traj.pose(np.array([t]))[1][0]).as_euler(
+        "ZYX")[::-1] for t in imu_ts]
+    scans = [
+        (0.05 + i / 10, syn.simulate_lidar_scan(
+            world, traj, 0.05 + i / 10, n_scan=4, horizon=6000,
+            sweep_time=0.1))
+        for i in range(int(d * 10) - 1)
+    ]
+    imgs = [
+        (0.1 + i / 10, syn.render_camera_image(world, traj, 0.1 + i / 10,
+                                               cam=cam))
+        for i in range(int(d * 10) - 1)
+    ]
+
+    def feed(lo, hi):
+        for i, t in enumerate(imu_ts):
+            if lo <= t < hi:
+                sys_.feed_imu(t, w_all[i], f_all[i],
+                              rpy=np.array(rpys[i], np.float32))
+        for t, sc in scans:
+            if lo <= t < hi:
+                sys_.feed_lidar(t, sc)
+        for t, im in imgs:
+            if lo <= t < hi:
+                sys_.feed_image(t, im)
+
+    feed(0.0, warm_s)
+    sys_.run()  # warm: compiles + steady state
+    feed(warm_s, d)
+    t0 = time.perf_counter()
+    sys_.run()
+    wall = time.perf_counter() - t0
+
+    est_pos = np.stack([x6[3:6] for _, x6 in sys_.trajectory])
+    gt = np.stack([traj.pose(np.array([t]))[0][0]
+                   for t, _ in sys_.trajectory])
+    out["lvi_full_scale_rtf"] = round(timed_s / wall, 2)
+    out["lvi_full_scale_ate_m"] = round(
+        float(ate_rmse(est_pos, gt, align=True)), 4)
+    out["lvi_full_scale_vio_init"] = bool(sys_._vio_initialized)
+    out["lvi_full_scale_loops"] = int(sys_.lio.state.n_loops)
+
+
 def main():
     _ensure_live_backend()
     import jax
@@ -499,6 +605,8 @@ def main():
         _imu_section(out)
         _vio_section(out)
         _lvi_section(out)
+        if on_tpu:
+            _lvi_full_scale_section(out)
         # sequential single-chip bound: per 100 ms scan period the fused
         # system does one LIO scan + one camera frame (tracker + VIO step)
         lvi_ms = out["per_scan_ms"] + out["tracker_step_ms"] + out["vio_ba_solve_ms"]

@@ -357,6 +357,11 @@ class Rosbag2Reader:
         cur = self.conn.execute("SELECT id, name, type FROM topics")
         self.topics = {tid: (name, typ) for tid, name, typ in cur.fetchall()}
         self.filter = set(topics) if topics else None
+        # corrupt/truncated CDR payloads are SKIPPED, not fatal — the same
+        # behavior DDS gives the reference for free (a mangled packet never
+        # reaches the callback, `utility.h:414-470` QoS); count them here
+        # so callers can surface data-quality problems
+        self.skipped = 0
 
     def __iter__(self) -> Iterator[tuple]:
         cur = self.conn.execute(
@@ -370,7 +375,13 @@ class Rosbag2Reader:
             if entry is None:
                 continue
             kind, fn = entry
-            yield ts * 1e-9, name, kind, fn(data)
+            try:
+                msg = fn(data)
+            except (struct.error, IndexError, ValueError, MemoryError,
+                    OSError):  # OSError: PIL on a truncated JPEG blob
+                self.skipped += 1
+                continue
+            yield ts * 1e-9, name, kind, msg
 
 
 # ---------------------------------------------------------------------------

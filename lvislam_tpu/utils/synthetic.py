@@ -305,6 +305,36 @@ def procedural_texture(pts: np.ndarray) -> np.ndarray:
     return (0.5 + 0.45 * v).astype(np.float32)
 
 
+_RAY_GRID_CACHE: dict = {}
+
+
+def camera_ray_grid(cam) -> np.ndarray:
+    """Unit ray per pixel for an arbitrary `CameraIntrinsics` (any of the
+    four camodocal models via `ops.camera.lift_projective`) — the static
+    part of rendering, computed once per intrinsics and cached. Pinned to
+    the CPU backend so bench-time rendering never round-trips the TPU
+    tunnel."""
+    key = (cam.model_type, cam.image_width, cam.image_height, cam.gamma1,
+           cam.gamma2, cam.u0, cam.v0, cam.k1, cam.k2, cam.p1, cam.p2,
+           getattr(cam, "xi", 0.0))
+    hit = _RAY_GRID_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import camera as camops
+
+    u, v = np.meshgrid(np.arange(cam.image_width), np.arange(cam.image_height))
+    uv = np.stack([u, v], axis=-1).reshape(-1, 2).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        rays = np.asarray(camops.lift_projective(jnp.asarray(uv), cam),
+                          np.float64)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    _RAY_GRID_CACHE[key] = rays
+    return rays
+
+
 def render_camera_image(
     world: World,
     traj: Trajectory,
@@ -314,8 +344,14 @@ def render_camera_image(
     f: float = 200.0,
     R_cam_body: np.ndarray | None = None,
     t_cam_body: np.ndarray | None = None,
+    cam=None,
 ):
-    """Raycast a pinhole image of the procedurally textured world."""
+    """Raycast an image of the procedurally textured world: a centered
+    pinhole at (width, height, f) by default, or — when `cam` (a
+    `CameraIntrinsics`) is given — through the full camera model including
+    its distortion/mirror geometry (e.g. the reference rig's MEI 1024x576,
+    `params_camera.yaml`), so full-scale replays exercise the real
+    undistortion path."""
     p, R = traj.pose(np.array([t]))
     p, R = p[0], R[0]
     if R_cam_body is None:
@@ -323,11 +359,16 @@ def render_camera_image(
         R_cam_body = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float).T
     if t_cam_body is None:
         t_cam_body = np.zeros(3)
-    u, v = np.meshgrid(np.arange(width), np.arange(height))
-    d_cam = np.stack(
-        [(u - width / 2) / f, (v - height / 2) / f, np.ones_like(u, float)], axis=-1
-    ).reshape(-1, 3)
-    d_cam /= np.linalg.norm(d_cam, axis=-1, keepdims=True)
+    if cam is not None:
+        width, height = cam.image_width, cam.image_height
+        d_cam = camera_ray_grid(cam)
+    else:
+        u, v = np.meshgrid(np.arange(width), np.arange(height))
+        d_cam = np.stack(
+            [(u - width / 2) / f, (v - height / 2) / f, np.ones_like(u, float)],
+            axis=-1,
+        ).reshape(-1, 3)
+        d_cam = d_cam / np.linalg.norm(d_cam, axis=-1, keepdims=True)
     R_wc = R @ R_cam_body
     origin = p + R @ t_cam_body
     d_world = d_cam @ R_wc.T
