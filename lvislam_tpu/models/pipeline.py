@@ -653,8 +653,13 @@ class LviSystem:
 
     # ---------------------------------------------------------------- LIDAR
     def _on_lidar(self, stamp, scan):
-        # mapping-rate throttle (`mapOptimization.cpp:312`)
-        if stamp - self._last_map_time < self.cfg.mapping_process_interval:
+        # mapping-rate throttle (`mapOptimization.cpp:312`) + disorder
+        # guard: a duplicated or stale scan (stamp <= last processed) is
+        # dropped — the reference's explicit in-disorder drop protocol
+        # (`estimator_node.cpp:268-287` for IMU; queues keyed by time for
+        # clouds). max(interval, eps) keeps the guard live at interval=0.
+        if (stamp - self._last_map_time
+                < max(self.cfg.mapping_process_interval, 1e-9)):
             return
         self._last_map_time = stamp
         if self._maybe_activate_replay():
@@ -834,6 +839,8 @@ class LviSystem:
         + ONE 21-float readback (`models/vio/frame_step.py`); the reference
         spreads this across five callbacks in two processes
         (`feature_tracker_node.cpp:98-270`, `estimator_node.cpp:218-355`)."""
+        if self.last_image_time >= 0 and stamp <= self.last_image_time:
+            return  # duplicated/stale frame: disorder drop (see _on_lidar)
         if self._maybe_activate_replay():
             self._stage_frame(stamp, msg)
             return
@@ -934,6 +941,8 @@ class LviSystem:
         feature-queue -> estimator-node concurrency
         (`feature_tracker_node.cpp:98-270`, `estimator_node.cpp:258-303`):
         the estimator is always one camera period behind the tracker."""
+        if self.last_image_time >= 0 and stamp <= self.last_image_time:
+            return  # duplicated/stale frame: disorder drop (see _on_lidar)
         cfg = self.cfg
         img_np = np.asarray(msg["image"])
         tf_ok = self.vins_odom is not None and np.isfinite(
