@@ -520,15 +520,27 @@ class LviSystem:
         self._drain_results()
 
     def _rp_worker_loop(self):
-        """Sequential device interaction for enqueued event batches. Owns
-        `self._carry` while the queue is non-empty; the main thread touches
-        it only after `_rp_join()`."""
+        """Device interaction for enqueued event batches, pipelined one
+        batch deep. Owns `self._carry` while the queue is non-empty; the
+        main thread touches it only after `_rp_join()`.
+
+        The readback of batch k is DEFERRED until after batch k+1 has been
+        uploaded and dispatched: jax dispatch is async, so the blocking
+        `np.asarray(outs_k)` then rides under the device's execution of
+        k+1, and the next upload rides under k. The previous serial form
+        (upload -> compute -> readback per batch) paid
+        46 + compute + 25 ms per batch on the axon tunnel — transfers
+        gated the measured full-fusion RTF at ~5x even though compute
+        alone bounds it at ~9x (NOTES.md round-3 profile)."""
         from . import replay as rp
 
+        pending = []  # [(meta, outs_device)] — depth 1 while items queue
         while True:
             item = self._rp_q.get()
             try:
                 if item is None:
+                    for m, o in pending:
+                        self._rp_results.put((m, np.asarray(o)))
                     return
                 if self._rp_exc is not None:
                     continue  # drain remaining items after a failure
@@ -537,10 +549,16 @@ class LviSystem:
                 self._carry, outs = rp.replay_batch_step(
                     self._carry, arr, self._replay_statics
                 )
-                # the one readback per batch — blocks THIS thread only
-                self._rp_results.put((meta, np.asarray(outs)))
+                pending.append((meta, outs))
+                # block on the OLDEST batch only while more work queues;
+                # drain fully once the queue is (momentarily) empty so
+                # `_rp_join` never returns with readbacks still pending
+                while len(pending) > (1 if not self._rp_q.empty() else 0):
+                    m, o = pending.pop(0)
+                    self._rp_results.put((m, np.asarray(o)))
             except BaseException as e:  # surfaced on the main thread
                 self._rp_exc = e
+                pending.clear()
             finally:
                 self._rp_q.task_done()
 

@@ -283,13 +283,11 @@ def cmd_replay(args):
 
     reps = args.reps
     on_tpu = jax.default_backend() != "cpu"
+    from bench import apply_perf_knobs
+
     sys_ = make_system(pallas=on_tpu)
     sys_.cfg.replay_batch = 16
-    sys_.cfg.mapping_process_interval = 0.15  # bench operating point
-    sys_.cfg.ba = dc.replace(sys_.cfg.ba, solver="schur")
-    sys_.cfg.lio.params = dc.replace(
-        sys_.cfg.lio.params, nnRefreshEvery=2, mapRebuildEvery=8,
-        gatherOncePerScan=on_tpu)
+    apply_perf_knobs(sys_, pallas=on_tpu)  # bench operating point
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     d = 4.0
