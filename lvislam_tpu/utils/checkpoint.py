@@ -77,20 +77,17 @@ def save_trajectory_tum(path: str, stamps, trans, quats_wxyz):
             )
 
 
-def save_map_service(state, out_dir: str, resolution: float = 0.0):
-    """`saveMapService` (`mapOptimization.cpp:179-238`): writes
-    trajectory.pcd (keyframe positions), transformations (TUM), corner/surf
-    global maps (optionally re-downsampled at `resolution`)."""
+def global_map_points(state, resolution: float = 0.0):
+    """World-frame (corner, surf) global clouds assembled from the
+    keyframe database — the `publishGlobalMap` cloud
+    (`mapOptimization.cpp:421-510`), optionally re-downsampled at
+    `resolution` (the saveMapService arg)."""
     from ..core import lie
     from ..ops import pointcloud as pc
 
-    os.makedirs(out_dir, exist_ok=True)
     n = int(state.kf_count)
     kt = np.asarray(state.kf_trans[:n])
     kq = np.asarray(state.kf_quat[:n])
-    ktime = np.asarray(state.kf_time[:n])
-    write_pcd(os.path.join(out_dir, "trajectory.pcd"), kt)
-    save_trajectory_tum(os.path.join(out_dir, "transformations.txt"), ktime, kt, kq)
 
     def assemble(clouds, valids):
         pts = []
@@ -114,8 +111,24 @@ def save_map_service(state, out_dir: str, resolution: float = 0.0):
             out = np.asarray(xyz)[np.asarray(valid)]
         return out
 
-    corner = assemble(state.kf_corner, state.kf_corner_valid)
-    surf = assemble(state.kf_surf, state.kf_surf_valid)
+    return (assemble(state.kf_corner, state.kf_corner_valid),
+            assemble(state.kf_surf, state.kf_surf_valid))
+
+
+def save_map_service(state, out_dir: str, resolution: float = 0.0):
+    """`saveMapService` (`mapOptimization.cpp:179-238`): writes
+    trajectory.pcd (keyframe positions), transformations (TUM), corner/surf
+    global maps (optionally re-downsampled at `resolution`), plus the
+    offline visualization artifacts (top-down PPM + interactive HTML)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = int(state.kf_count)
+    kt = np.asarray(state.kf_trans[:n])
+    kq = np.asarray(state.kf_quat[:n])
+    ktime = np.asarray(state.kf_time[:n])
+    write_pcd(os.path.join(out_dir, "trajectory.pcd"), kt)
+    save_trajectory_tum(os.path.join(out_dir, "transformations.txt"), ktime, kt, kq)
+
+    corner, surf = global_map_points(state, resolution)
     write_pcd(os.path.join(out_dir, "CornerMap.pcd"), corner)
     write_pcd(os.path.join(out_dir, "SurfMap.pcd"), surf)
     if len(corner) + len(surf):
@@ -123,8 +136,11 @@ def save_map_service(state, out_dir: str, resolution: float = 0.0):
         write_pcd(os.path.join(out_dir, "GlobalMap.pcd"), gmap)
         # top-down render — the RViz global-map + path view
         # (`visualizeGlobalMapThread`, `mapOptimization.cpp:421-510`)
-        from .debugviz import draw_map_topdown, save_ppm
+        from .debugviz import draw_map_topdown, export_html_viewer, save_ppm
 
         save_ppm(os.path.join(out_dir, "GlobalMap_topdown.ppm"),
                  draw_map_topdown(gmap, trajectory=kt))
+        # interactive 3D session — the live-RViz counterpart
+        export_html_viewer(os.path.join(out_dir, "viewer.html"), kt,
+                           map_xyz=gmap)
     return dict(n_keyframes=n, n_corner=len(corner), n_surf=len(surf))

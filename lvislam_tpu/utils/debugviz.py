@@ -164,3 +164,135 @@ def draw_map_topdown(
         for i in range(len(xs) - 1):
             _draw_line(canvas, xs[i], ys[i], xs[i + 1], ys[i + 1], red)
     return canvas
+
+
+# ---------------------------------------------------------- HTML 3D viewer
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>lvislam_tpu viewer</title>
+<style>
+ body{margin:0;background:#10141a;color:#cfd8e3;font:12px sans-serif;
+      overflow:hidden}
+ #hud{position:fixed;top:8px;left:10px;opacity:.85;pointer-events:none}
+ canvas{display:block}
+</style></head><body>
+<div id="hud">lvislam_tpu replay &mdash; drag: orbit &middot; shift-drag:
+ pan &middot; wheel: zoom<br><span id="stats"></span></div>
+<canvas id="cv"></canvas>
+<script>
+const DATA = __DATA_JSON__;
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+let W, H; const resize = () => { W = cv.width = innerWidth;
+  H = cv.height = innerHeight; }; resize(); onresize = () => {resize();draw();};
+// center the scene
+const all = [];
+for (const k of ['map','traj','gt']) if (DATA[k]) all.push(...DATA[k]);
+let cx=0, cy=0, cz=0, R=1;
+if (all.length){
+  for (const p of all){cx+=p[0];cy+=p[1];cz+=p[2];}
+  cx/=all.length; cy/=all.length; cz/=all.length;
+  for (const p of all) R = Math.max(R, Math.hypot(p[0]-cx,p[1]-cy,p[2]-cz));
+}
+let yaw=-0.7, pitch=0.5, dist=2.6*R, panx=0, pany=0;
+function project(p){
+  const x=p[0]-cx, y=p[1]-cy, z=p[2]-cz;
+  const cyw=Math.cos(yaw), syw=Math.sin(yaw);
+  const cp=Math.cos(pitch), sp=Math.sin(pitch);
+  const x1=cyw*x+syw*y, y1=-syw*x+cyw*y;        // yaw about +z
+  const y2=cp*y1-sp*z,  z2=sp*y1+cp*z;           // pitch
+  const d=y2+dist; if (d<=0.01) return null;
+  const f=0.9*Math.min(W,H)/ (d/R);
+  return [W/2+f*(x1/R)+panx, H/2-f*(z2/R)+pany, d];
+}
+function zcol(z){
+  const t=Math.max(0,Math.min(1,(z-DATA.z0)/(DATA.z1-DATA.z0||1)));
+  const r=38+t*128, g=64+t*153, b=140-t*76;
+  return `rgb(${r|0},${g|0},${b|0})`;
+}
+function polyline(pts, style, w){
+  ctx.strokeStyle=style; ctx.lineWidth=w; ctx.beginPath(); let started=false;
+  for (const p of pts){const q=project(p); if(!q){started=false;continue;}
+    if(!started){ctx.moveTo(q[0],q[1]);started=true;} else ctx.lineTo(q[0],q[1]);}
+  ctx.stroke();
+}
+function draw(){
+  ctx.fillStyle='#10141a'; ctx.fillRect(0,0,W,H);
+  if (DATA.map) for (const p of DATA.map){
+    const q=project(p); if(!q) continue;
+    ctx.fillStyle=zcol(p[2]);
+    const s=Math.max(1, 3.0*R/q[2]);
+    ctx.fillRect(q[0],q[1],s,s);
+  }
+  if (DATA.gt)  polyline(DATA.gt,  '#5a9e6f', 1.5);
+  if (DATA.traj) polyline(DATA.traj,'#e05252', 2);
+  if (DATA.loops) for (const e of DATA.loops){
+    polyline([DATA.traj[e[0]], DATA.traj[e[1]]], '#e0c040', 1);
+  }
+  document.getElementById('stats').textContent =
+    `${(DATA.map||[]).length} map pts, ${(DATA.traj||[]).length} poses` +
+    (DATA.gt?`, GT overlay`:``) +
+    (DATA.loops&&DATA.loops.length?`, ${DATA.loops.length} loop edges`:``);
+}
+let drag=null;
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];};
+onmouseup=()=>{drag=null;};
+onmousemove=e=>{ if(!drag) return;
+  const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
+  if (drag[2]){panx+=dx; pany+=dy;}
+  else {yaw+=dx*0.008; pitch=Math.max(-1.5,Math.min(1.5,pitch+dy*0.008));}
+  drag=[e.clientX,e.clientY,drag[2]]; draw();
+};
+cv.onwheel=e=>{dist*=Math.exp(e.deltaY*0.001); draw(); e.preventDefault();};
+draw();
+</script></body></html>
+"""
+
+
+def export_html_viewer(
+    path: str,
+    trajectory: np.ndarray,
+    map_xyz: np.ndarray | None = None,
+    map_valid: np.ndarray | None = None,
+    gt: np.ndarray | None = None,
+    loop_pairs: np.ndarray | None = None,
+    max_points: int = 120_000,
+) -> str:
+    """Standalone interactive 3D HTML viewer (orbit / pan / zoom) — the
+    replay-framework counterpart of the reference's live RViz session
+    (global map cloud + path + loop-edge markers,
+    `mapOptimization.cpp:421-510 publishGlobalMap`, `visualization.cpp`
+    pubPath/pubKeyframes, loop `MarkerArray` in
+    `mapOptimization.cpp:665-741`). Zero dependencies on either side:
+    embeds the decimated cloud + trajectories as JSON in one HTML file
+    rendered with a hand-rolled canvas projector.
+
+    trajectory/gt: (T, 3) positions; map_xyz: (N, 3) world points;
+    loop_pairs: (L, 2) int indices into `trajectory`. Returns `path`.
+    """
+    import json
+
+    tr = np.asarray(trajectory, np.float32).reshape(-1, 3)
+    data: dict = {"traj": tr.round(3).tolist()}
+    z0, z1 = 0.0, 1.0
+    if map_xyz is not None:
+        pts = np.asarray(map_xyz, np.float32).reshape(-1, 3)
+        if map_valid is not None:
+            pts = pts[np.asarray(map_valid).reshape(-1)]
+        pts = pts[np.isfinite(pts).all(-1)]
+        if len(pts) > max_points:  # uniform decimation, keep shape
+            pts = pts[:: int(np.ceil(len(pts) / max_points))]
+        if len(pts):
+            z0, z1 = (float(x) for x in np.percentile(pts[:, 2], [5, 95]))
+        data["map"] = pts.round(3).tolist()
+    if gt is not None:
+        data["gt"] = np.asarray(gt, np.float32).reshape(-1, 3).round(
+            3).tolist()
+    if loop_pairs is not None and len(loop_pairs):
+        data["loops"] = np.asarray(loop_pairs, np.int64).reshape(
+            -1, 2).tolist()
+    data["z0"], data["z1"] = z0, z1
+    html = _HTML_TEMPLATE.replace("__DATA_JSON__", json.dumps(data))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(html)
+    return path

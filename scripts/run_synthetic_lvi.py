@@ -18,6 +18,9 @@ def main():
     ap.add_argument("duration", nargs="?", type=float, default=6.0)
     ap.add_argument("--save-map", default=None)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--html", default=None,
+                    help="standalone interactive 3D viewer (map + est "
+                         "trajectory + GT overlay)")
     args = ap.parse_args()
 
     sys.path.insert(0, "tests")
@@ -63,6 +66,13 @@ def main():
         from lvislam_tpu.utils.checkpoint import save_state
         save_state(args.checkpoint, sys_.lio.state)
         print("checkpoint ->", args.checkpoint)
+    if args.html:
+        from lvislam_tpu.utils.checkpoint import global_map_points
+        from lvislam_tpu.utils.debugviz import export_html_viewer
+        corner, surf = global_map_points(sys_.lio.state)
+        gmap = np.concatenate([corner, surf]) if len(corner) else surf
+        print("viewer ->", export_html_viewer(
+            args.html, est, map_xyz=gmap, gt=gt))
 
 
 if __name__ == "__main__":

@@ -75,3 +75,33 @@ def test_draw_map_topdown(tmp_path):
 def test_draw_map_topdown_empty():
     img = dv.draw_map_topdown(np.zeros((0, 3)))
     assert img.shape == (800, 800, 3) and float(img.sum()) == 0.0
+
+
+def test_export_html_viewer(tmp_path):
+    """The standalone interactive viewer (live-RViz counterpart): one
+    self-contained HTML file embedding the decimated map + trajectories."""
+    rng = np.random.default_rng(1)
+    traj = np.stack([np.linspace(0, 2, 8), np.zeros(8), np.zeros(8)], -1)
+    pts = rng.uniform(-3, 3, (500, 3)).astype(np.float32)
+    valid = np.ones(500, bool)
+    valid[:100] = False
+    p = dv.export_html_viewer(
+        str(tmp_path / "v.html"), traj, map_xyz=pts, map_valid=valid,
+        gt=traj + 0.01, loop_pairs=np.array([[0, 7]]))
+    txt = open(p).read()
+    assert txt.startswith("<!DOCTYPE html>") and "</html>" in txt
+    for key in ('"traj"', '"map"', '"gt"', '"loops"'):
+        assert key in txt, key
+    import json
+    import re
+
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", txt).group(1))
+    assert len(data["traj"]) == 8 and len(data["map"]) == 400
+    assert data["loops"] == [[0, 7]]
+
+    # decimation cap holds
+    p2 = dv.export_html_viewer(str(tmp_path / "v2.html"), traj,
+                               map_xyz=pts, max_points=100)
+    d2 = json.loads(re.search(r"const DATA = (\{.*?\});\n",
+                              open(p2).read()).group(1))
+    assert len(d2["map"]) <= 100
