@@ -332,42 +332,13 @@ def apply_perf_knobs(s, pallas: bool) -> None:
     )
 
 
-def _lvi_section(out):
-    """BASELINE config 5 MEASURED: the full tightly-coupled fused system
-    (LIO + VIO + depth + guess exchanges) replayed end-to-end, wall-clock
-    per simulated second, including every host<->device transfer. The
-    timed segment runs the batched fused replay (`models/replay.py`,
-    `replay_batch=16`): all cross-subsystem exchanges device-resident,
-    one upload + one deferred readback per 16 sensor events — without it
-    the ~25 ms/RPC axon tunnel (4 RPCs per 100 ms cycle) caps the measured
-    number at ~1x regardless of kernel speed. Warmup (pre-VIO-init) runs
-    the interactive path. Parity with the interactive path is tested in
-    tests/test_lvi_replay.py. Runs at the integration-test operating point
-    (320x240 camera, 4x900 scans) with the same code path as the 1024x576
-    rig."""
-    import sys
-    import time
-
+def _lvi_sequence():
+    """The deterministic config-5 sequence shared by the TPU replay and
+    the CPU-anchor child: (feed, warm_s, timed_s, gt_of)."""
     from scipy.spatial.transform import Rotation as Rsc
 
-    sys.path.insert(0, "tests")
-    from test_lvi_system import make_system
-
     from lvislam_tpu.utils import synthetic as syn
-    from lvislam_tpu.utils.metrics import ate_rmse
 
-    import jax
-
-    on_tpu = jax.default_backend() != "cpu"
-
-    def build_system(pallas: bool, knobs: bool = True):
-        s = make_system(pallas=pallas)
-        s.cfg.replay_batch = 16
-        if knobs:
-            apply_perf_knobs(s, pallas=pallas)
-        return s
-
-    sys_ = build_system(pallas=on_tpu)
     world = syn.default_world(seed=0)
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0
@@ -403,6 +374,73 @@ def _lvi_section(out):
             if lo <= t < hi:
                 s.feed_image(t, im)
 
+    def gt_of(sys_):
+        return np.stack([traj.pose(np.array([t]))[0][0]
+                         for t, _ in sys_.trajectory])
+
+    return feed, warm_s, timed_s, gt_of
+
+
+def _lvi_build_system(pallas: bool, knobs: bool = True):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lvi_system import make_system
+
+    s = make_system(pallas=pallas)
+    s.cfg.replay_batch = 16
+    if knobs:
+        apply_perf_knobs(s, pallas=pallas)
+    return s
+
+
+def _lvi_cpu_anchor_child():
+    """Clean-CPU anchor replays (spawned by `_lvi_section` with the axon
+    plugin scrubbed from the environment): the in-process
+    `jax.default_device(cpu)` form compiled through the axon remote-AOT
+    helper whose executables target different host features — measured
+    0.0722 vs 0.1089 ATE for the IDENTICAL all-knobs replay that a clean
+    XLA:CPU process produces (and the TPU path reproduces 0.1089 exactly),
+    so the old anchor understated the reference and faked a +75% 'parity
+    gap'. Prints one JSON line."""
+    from lvislam_tpu.utils.metrics import ate_rmse
+
+    feed, warm_s, timed_s, gt_of = _lvi_sequence()
+    res = {}
+    for key, knobs in (("lvi_ate_cpu_ref_m", True),
+                       ("lvi_ate_cpu_exact_m", False)):
+        sc = _lvi_build_system(pallas=False, knobs=knobs)
+        feed(sc, 0.0, warm_s + timed_s)
+        sc.run()
+        est_c = np.stack([x6[3:6] for _, x6 in sc.trajectory])
+        res[key] = round(float(ate_rmse(est_c, gt_of(sc), align=True)), 4)
+    print(json.dumps(res))
+
+
+def _lvi_section(out):
+    """BASELINE config 5 MEASURED: the full tightly-coupled fused system
+    (LIO + VIO + depth + guess exchanges) replayed end-to-end, wall-clock
+    per simulated second, including every host<->device transfer. The
+    timed segment runs the batched fused replay (`models/replay.py`,
+    `replay_batch=16`): all cross-subsystem exchanges device-resident,
+    one upload + one deferred readback per 16 sensor events — without it
+    the ~25 ms/RPC axon tunnel (4 RPCs per 100 ms cycle) caps the measured
+    number at ~1x regardless of kernel speed. Warmup (pre-VIO-init) runs
+    the interactive path. Parity with the interactive path is tested in
+    tests/test_lvi_replay.py. Runs at the integration-test operating point
+    (320x240 camera, 4x900 scans) with the same code path as the 1024x576
+    rig."""
+    import time
+
+    from lvislam_tpu.utils.metrics import ate_rmse
+
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+    sys_ = _lvi_build_system(pallas=on_tpu)
+    feed, warm_s, timed_s, gt_of = _lvi_sequence()
+    d = warm_s + timed_s
+
     feed(sys_, 0.0, warm_s)
     sys_.run()  # warm: compiles + steady state reached
     feed(sys_, warm_s, d)
@@ -411,41 +449,53 @@ def _lvi_section(out):
     wall = time.perf_counter() - t0
 
     est_pos = np.stack([x6[3:6] for _, x6 in sys_.trajectory])
-    gt = np.stack([traj.pose(np.array([t]))[0][0]
-                   for t, _ in sys_.trajectory])
-    ate = float(ate_rmse(est_pos, gt, align=True))
+    ate = float(ate_rmse(est_pos, gt_of(sys_), align=True))
     out["lvi_rtf_measured"] = round(timed_s / wall, 2)
     out["lvi_ate_rmse_m"] = round(ate, 4)
     out["lvi_vio_initialized"] = bool(sys_._vio_initialized)
     out["lvi_replay_active"] = sys_._replay_statics is not None
 
     # full-LVI CPU-parity anchors (BASELINE gate: TPU ATE within 5% of the
-    # identical CPU-backend replay). Apples-to-apples: the primary CPU
-    # reference runs the SAME perf-knob set as the TPU replay (schur,
-    # nnRefreshEvery, mapRebuildEvery, throttle; gatherOncePerScan is the
-    # pallas-only query tail), so lvi_ate_vs_cpu_ref_pct isolates
-    # backend/Pallas numerics. A second exact-knob CPU anchor
-    # (lvi_ate_cpu_exact_m) quantifies the knobs' own accuracy cost.
+    # identical CPU-backend replay). Apples-to-apples: the CPU reference
+    # runs the SAME perf-knob set (schur, nnRefreshEvery, mapRebuildEvery,
+    # throttle; gatherOncePerScan is the pallas-only query tail) in a
+    # CLEAN XLA:CPU child process — see `_lvi_cpu_anchor_child` for why
+    # in-process jax.default_device(cpu) is NOT a valid anchor here. A
+    # second exact-knob anchor (lvi_ate_cpu_exact_m) quantifies the knob
+    # set's own accuracy cost.
     if on_tpu:
-        cpu0 = jax.devices("cpu")[0]
+        import subprocess
+        import sys as _s
 
-        def cpu_ate(knobs: bool) -> float:
-            with jax.default_device(cpu0):
-                sc = build_system(pallas=False, knobs=knobs)
-                feed(sc, 0.0, d)
-                sc.run()
-            est_c = np.stack([x6[3:6] for _, x6 in sc.trajectory])
-            gt_c = np.stack([traj.pose(np.array([t]))[0][0]
-                             for t, _ in sc.trajectory])
-            return float(ate_rmse(est_c, gt_c, align=True))
-
-        ate_cpu = cpu_ate(knobs=True)
-        out["lvi_ate_cpu_ref_m"] = round(ate_cpu, 4)
+        env = {
+            **os.environ,
+            "PALLAS_AXON_POOL_IPS": "",  # sitecustomize gate: no axon
+            "JAX_PLATFORMS": "cpu",
+            "_LVI_CPU_ANCHOR": "1",
+            "JAX_COMPILATION_CACHE_DIR":
+                "/root/.cache/jax_comp_cache_cputests",
+        }
+        r = subprocess.run(
+            [_s.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=3600,
+        )
+        anchors = None
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                anchors = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if anchors is None:
+            out["lvi_anchor_error"] = (r.stderr or r.stdout)[-200:]
+            return
+        ate_cpu = anchors["lvi_ate_cpu_ref_m"]
+        ate_exact = anchors["lvi_ate_cpu_exact_m"]
+        out["lvi_ate_cpu_ref_m"] = ate_cpu
         # SIGNED like ate_vs_cpu_ref_pct: pass iff <= +5
         out["lvi_ate_vs_cpu_ref_pct"] = round(
             100.0 * (ate - ate_cpu) / max(ate_cpu, 1e-9), 2)
-        ate_exact = cpu_ate(knobs=False)
-        out["lvi_ate_cpu_exact_m"] = round(ate_exact, 4)
+        out["lvi_ate_cpu_exact_m"] = ate_exact
         out["lvi_knob_cost_pct"] = round(
             100.0 * (ate_cpu - ate_exact) / max(ate_exact, 1e-9), 2)
 
@@ -562,6 +612,9 @@ def _lvi_full_scale_section(out):
 
 
 def main():
+    if os.environ.get("_LVI_CPU_ANCHOR") == "1":
+        _lvi_cpu_anchor_child()
+        return
     _ensure_live_backend()
     import jax
 
