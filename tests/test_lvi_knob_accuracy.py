@@ -3,15 +3,28 @@
 Round 3 shipped a silent 2.6x ATE regression (0.052 -> 0.138 m) through the
 bench-only perf knobs (schur / nnRefreshEvery / mapRebuildEvery / mapping
 throttle) because nothing in the suite replayed the fused system WITH those
-knobs. This test replays the same synthetic LVI sequence twice — exact
-configuration vs `bench.apply_perf_knobs` (the literal function bench.py
-uses) — and gates the knob set's accuracy cost. It fails loudly on any
-future knob that trades >40% ATE for speed.
+knobs. This test replays the bench's EXACT 7-s sequence (`bench.
+_lvi_sequence`, the shipped operating point — round 4's 4-s variant
+green-lit a config whose 7-s cost exceeded its own threshold, ADVICE r4)
+three ways and gates the knob set's accuracy cost at both decompositions:
+
+- all knobs vs exact: <= 1.35x. Measured post-centroid-fix: 1.246x
+  (0.0699 vs 0.0561, scripts/compute_anchors.py, Aug 21), of which the
+  0.15 s mapping throttle ALONE costs ~1.32x (NOTES r4 bisect: 0.0522 ->
+  0.0691) — the throttle is the reference's own shipped real-time lever
+  (`params_lidar.yaml mappingProcessInterval`), so its cost is the
+  reference's cost too, paid identically by the CPU anchor in the parity
+  gate.
+- knobs WITHOUT the throttle vs exact: <= 1.15x. This isolates OUR
+  approximation knobs (schur solver, nnRefreshEvery=2, mapRebuildEvery=8
+  incremental map with running per-leaf centroids) and pins them to
+  near-free, which is what the round-4 bisect measured (schur +0.000,
+  nnRefresh -0.002, rebuild ~+0.004 after the fix).
 
 Reference behavior being preserved: the knobs approximate
 `mapOptimization.cpp:894-970` (kd-tree rebuild + 5-NN refresh every solve)
-and the shipped 0.15 s mapping throttle (`params_lidar.yaml`); the
-reference pays full accuracy for them, so must we (within tolerance).
+and the shipped 0.15 s mapping throttle; the reference pays full accuracy
+for the throttle, so may we (and nothing else).
 """
 
 import sys
@@ -19,56 +32,40 @@ from pathlib import Path
 
 import numpy as np
 import pytest
-from scipy.spatial.transform import Rotation as Rsc
 
-from lvislam_tpu.utils import synthetic as syn
 from lvislam_tpu.utils.metrics import ate_rmse
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import bench  # noqa: E402
 from bench import apply_perf_knobs  # noqa: E402
 
-from test_lvi_system import make_system  # noqa: E402
 
-
-def _replay(knobs: bool, duration: float = 4.0) -> float:
-    sys_ = make_system(pallas=False)
-    sys_.cfg.replay_batch = 16
+def _replay(knobs: bool, throttle: bool = True) -> float:
+    sys_ = bench._lvi_build_system(pallas=False, knobs=False)
     if knobs:
         apply_perf_knobs(sys_, pallas=False)
-    world = syn.default_world(seed=0)
-    traj = syn.figure8_trajectory(scale=3.0, period=30.0)
-
-    imu_ts = (np.arange(int(duration * 200)) + 1) / 200
-    w_all, f_all = traj.imu(imu_ts)
-    for i, t in enumerate(imu_ts):
-        _, R = traj.pose(np.array([t]))
-        rpy = Rsc.from_matrix(R[0]).as_euler("ZYX")[::-1]
-        sys_.feed_imu(t, w_all[i], f_all[i], rpy=np.array(rpy, np.float32))
-    for i in range(int(duration * 10) - 1):
-        ts = 0.05 + i / 10
-        sys_.feed_lidar(ts, syn.simulate_lidar_scan(
-            world, traj, ts, n_scan=4, horizon=900, sweep_time=0.1))
-    for i in range(int(duration * 10) - 1):
-        ts = 0.1 + i / 10
-        sys_.feed_image(ts, syn.render_camera_image(
-            world, traj, ts, width=320, height=240, f=200.0))
+        if not throttle:
+            sys_.cfg.mapping_process_interval = 0.0
+    feed, warm_s, timed_s, gt_of = bench._lvi_sequence()
+    feed(sys_, 0.0, warm_s + timed_s)
     sys_.run()
-
     est_pos = np.stack([x6[3:6] for _, x6 in sys_.trajectory])
-    gt = np.stack([traj.pose(np.array([t]))[0][0]
-                   for t, _ in sys_.trajectory])
-    return float(ate_rmse(est_pos, gt, align=True))
+    return float(ate_rmse(est_pos, gt_of(sys_), align=True))
 
 
 @pytest.mark.slow
-def test_bench_knob_set_does_not_cost_accuracy():
+def test_lvi_knob_accuracy():
     ate_exact = _replay(knobs=False)
     ate_knobs = _replay(knobs=True)
+    ate_noth = _replay(knobs=True, throttle=False)
     # sanity: the exact replay itself must be healthy (same bar as
     # test_lvi_full_fusion)
     assert ate_exact < 0.15, f"exact-knob replay unhealthy: {ate_exact}"
-    # the r3 regression was 2.6x; gate at 1.4x so any future knob that
-    # silently trades accuracy for speed fails here before it ships
-    assert ate_knobs <= max(1.4 * ate_exact, ate_exact + 0.01), (
+    # all knobs (the bench configuration, throttle included)
+    assert ate_knobs <= max(1.35 * ate_exact, ate_exact + 0.01), (
         f"perf knobs cost too much accuracy: exact={ate_exact:.4f} m, "
         f"knobs={ate_knobs:.4f} m")
+    # our approximation knobs alone must be near-free
+    assert ate_noth <= max(1.15 * ate_exact, ate_exact + 0.01), (
+        f"non-throttle knobs regressed: exact={ate_exact:.4f} m, "
+        f"knobs-sans-throttle={ate_noth:.4f} m")
