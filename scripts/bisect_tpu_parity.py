@@ -25,7 +25,8 @@ sys.path.insert(0, ROOT)
 import bench  # noqa: E402
 
 
-def lvi_variant(tag, pallas_knn, pallas_gn, gather_once, knobs=True):
+def lvi_variant(tag, pallas_knn, pallas_gn, gather_once, knobs=True,
+                rebuild_every=None, nn_refresh=None):
     from lvislam_tpu.utils.metrics import ate_rmse
 
     t0 = time.time()
@@ -36,6 +37,12 @@ def lvi_variant(tag, pallas_knn, pallas_gn, gather_once, knobs=True):
         s.cfg.lio.caps, pallas_knn=pallas_knn, pallas_gn=pallas_gn)
     s.cfg.lio.params = dc.replace(
         s.cfg.lio.params, gatherOncePerScan=gather_once)
+    if rebuild_every is not None:
+        s.cfg.lio.params = dc.replace(
+            s.cfg.lio.params, mapRebuildEvery=rebuild_every)
+    if nn_refresh is not None:
+        s.cfg.lio.params = dc.replace(
+            s.cfg.lio.params, nnRefreshEvery=nn_refresh)
     feed, warm_s, timed_s, gt_of = bench._lvi_sequence()
     feed(s, 0.0, warm_s + timed_s)
     s.run()
@@ -88,6 +95,17 @@ def main():
         lio_variant("lio_gn_only", False, True, False)
         lio_variant("lio_knn_only", True, False, False)
         lio_variant("lio_all_pallas", True, True, True)      # bench config
+    if "final" in which:
+        # candidate round-5 bench configs at mapRebuildEvery=1
+        lvi_variant("lvi_r1_knn_go", True, False, True, rebuild_every=1)
+        lvi_variant("lvi_r1_all_pallas", True, True, True, rebuild_every=1)
+        lio_variant("lio_knn_go", True, False, True)
+    if "rebuild" in which:
+        # isolate the incremental-map knob on TPU: XLA-only, all other
+        # knobs at the bench set
+        lvi_variant("lvi_xla_rebuild1", False, False, False, rebuild_every=1)
+        lvi_variant("lvi_xla_rebuild4", False, False, False, rebuild_every=4)
+        lvi_variant("lvi_xla_nn1", False, False, False, nn_refresh=1)
 
 
 if __name__ == "__main__":

@@ -8,18 +8,16 @@ _lvi_sequence`, the shipped operating point — round 4's 4-s variant
 green-lit a config whose 7-s cost exceeded its own threshold, ADVICE r4)
 three ways and gates the knob set's accuracy cost at both decompositions:
 
-- all knobs vs exact: <= 1.35x. Measured post-centroid-fix: 1.246x
-  (0.0699 vs 0.0561, scripts/compute_anchors.py, Aug 21), of which the
-  0.15 s mapping throttle ALONE costs ~1.32x (NOTES r4 bisect: 0.0522 ->
-  0.0691) — the throttle is the reference's own shipped real-time lever
-  (`params_lidar.yaml mappingProcessInterval`), so its cost is the
-  reference's cost too, paid identically by the CPU anchor in the parity
-  gate.
+- all knobs vs exact: <= 1.35x. Measured with the round-5 knob set
+  (mapRebuildEvery back to 1 — see NOTES r5 stability-cliff finding —
+  schur, nnRefreshEvery=2): 1.072x on the 12 s sequence (0.0904 vs
+  0.0843, scripts/compute_anchors.py, Aug 21); the remaining cost is the
+  0.15 s mapping throttle, the reference's own shipped real-time lever
+  (`params_lidar.yaml mappingProcessInterval`), paid identically by the
+  CPU anchor in the parity gate.
 - knobs WITHOUT the throttle vs exact: <= 1.15x. This isolates OUR
-  approximation knobs (schur solver, nnRefreshEvery=2, mapRebuildEvery=8
-  incremental map with running per-leaf centroids) and pins them to
-  near-free, which is what the round-4 bisect measured (schur +0.000,
-  nnRefresh -0.002, rebuild ~+0.004 after the fix).
+  approximation knobs (schur solver, nnRefreshEvery=2) and pins them to
+  near-free (round-4 bisect: schur +0.000, nnRefresh -0.002).
 
 Reference behavior being preserved: the knobs approximate
 `mapOptimization.cpp:894-970` (kd-tree rebuild + 5-NN refresh every solve)
