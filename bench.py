@@ -692,6 +692,16 @@ def _lvi_full_scale_section(out):
                      [1.0, 0.0, 0.0]]).T
     qic = np.roll(Rsc.from_matrix(R_BC).as_quat(), 1)
     lio_cfg = _make_cfg(mapping, pallas=on_tpu)  # 4x6000, 24k points
+    # full Pallas kernel set INCLUDING pallas_gn: this section has no
+    # clean-CPU anchor (a full-scale CPU fused replay takes hours on this
+    # host), so it is the perf configuration, accuracy reported as the
+    # synthetic-GT ATE below. pallas_gn measured 2.55x vs 2.24x RTF here,
+    # ATE 0.061 vs 0.065 (round-5 runs) — faster AND no worse. The
+    # parity-GATED sections (LIO headline, small-scale fused) stay on the
+    # XLA path where the +12% pallas_gn ATE cost is proven (NOTES r5).
+    import dataclasses as _dc
+
+    lio_cfg.caps = _dc.replace(lio_cfg.caps, pallas_gn=on_tpu)
     lio_cfg.loop_every_n_scans = 10
     # _make_cfg's upload_batch=8 is for the standalone LIO replay; inside
     # LviSystem the interactive warmup path needs per-scan outputs
