@@ -884,6 +884,79 @@ def _lvi_loop_section(out):
             noloop["ate_kf"] - arm["ate_kf"], 4)
 
 
+def _euroc_child():
+    """BASELINE configs 2/4 measured end-to-end: the EuRoC ASL replay
+    (mav0 fixture -> scripts/run_euroc_vio.py -> visual SfM + IMU
+    alignment init -> TUM export) in a clean CPU child — the same path
+    tests/test_euroc_e2e.py gates, reported as bench evidence. Prints one
+    JSON line."""
+    import tempfile
+
+    sys_path = os.path.join(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    sys.path.insert(0, os.path.join(sys_path, "tests"))
+    sys.path.insert(0, os.path.join(sys_path, "scripts"))
+    import numpy as np
+
+    from test_euroc_e2e import _write_euroc_fixture
+    from lvislam_tpu.utils import synthetic as syn
+    from lvislam_tpu.utils.metrics import ate_rmse
+    import run_euroc_vio
+
+    world = syn.default_world(seed=0)
+    traj = syn.figure8_trajectory(scale=1.5, period=8.0)
+    with tempfile.TemporaryDirectory() as td:
+        root = os.path.join(td, "mav0")
+        _write_euroc_fixture(root, world, traj, duration=5.0)
+        out_path = os.path.join(td, "traj.tum")
+        runner = run_euroc_vio.main(
+            [root, "--camera-yaml",
+             os.path.join(sys_path, "tests", "data", "fixture_camera.yaml"),
+             "--max-seconds", "5.0", "--out", out_path])
+        res = {
+            "vio_euroc_init": bool(np.asarray(runner.vio.initialized)),
+            "vio_euroc_failures": int(np.asarray(runner.vio.failure_count)),
+        }
+        rows = np.loadtxt(out_path)
+        if rows.ndim == 2 and len(rows) >= 10:
+            gt = np.stack([traj.pose(np.array([t]))[0][0]
+                           for t in rows[:, 0]])
+            res["vio_euroc_ate_m"] = round(
+                float(ate_rmse(rows[:, 1:4], gt, align=True)), 4)
+    print(json.dumps(res))
+
+
+def _euroc_section(out):
+    """Run `_euroc_child` in a scrubbed clean-CPU process (the VioRunner
+    path would otherwise compile through the axon helper) reusing the test
+    suite's warm compile cache."""
+    import subprocess
+    import sys as _s
+
+    r = subprocess.run(
+        [_s.executable, os.path.abspath(__file__), "--euroc-child"],
+        env={**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+             "JAX_COMPILATION_CACHE_DIR":
+                 "/root/.cache/jax_comp_cache_cputests"},
+        capture_output=True, text=True,
+        timeout=max(min(_remaining() - 120, 900), 60),
+    )
+    got = None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+            if isinstance(parsed, dict):
+                got = parsed
+                break
+        except json.JSONDecodeError:
+            continue
+    if got is None:
+        out["euroc_error"] = (r.stderr or r.stdout)[-200:]
+    else:
+        out.update(got)
+
+
 def _gen_cache():
     """Pre-generate every cached input dataset (no TPU use). Run once per
     content change: `python bench.py --gen-cache`."""
@@ -915,6 +988,9 @@ def main():
 
     if "--gen-cache" in _sys.argv:
         _gen_cache()
+        return
+    if "--euroc-child" in _sys.argv:
+        _euroc_child()
         return
     _ensure_live_backend()
     import jax
@@ -1009,6 +1085,7 @@ def main():
     section("lvi", 300, _lvi_section)
     section("imu", 60, _imu_section)
     section("vio", 120, _vio_section)
+    section("euroc", 240, _euroc_section)
 
     try:
         # sequential single-chip bound: per 100 ms scan period the fused
