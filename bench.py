@@ -427,9 +427,12 @@ def _anchor_fingerprint() -> dict:
             dirnames[:] = [d for d in dirnames if d != "__pycache__"]
             srcs += [os.path.join(dirpath, f) for f in filenames
                      if f.endswith(".py")]
-    # utils that shape the replayed sequence / the metric / the event order
+    # utils that shape the replayed sequence / the metric / the event
+    # order — plus the test-side system builder, whose caps/params ARE
+    # anchor-relevant configuration (make_system)
     srcs += [os.path.join(pkg, "utils", f)
              for f in ("bus.py", "synthetic.py", "metrics.py")]
+    srcs += [os.path.join(root, "tests", "test_lvi_system.py")]
     for p in sorted(srcs):
         with open(p, "rb") as f:
             h.update(f.read())
